@@ -1,0 +1,710 @@
+"""Sliding-window VI estimator: host bookkeeping + jitted device solves.
+
+This is the re-design of the reference's estimation backend stack —
+ViGraph (okvis_ceres/include/okvis/ViGraph.hpp:83-618), ViGraphEstimator
+(graph surgery: IMU-frame elimination, keyframe->pose-graph conversion,
+freezing — okvis_ceres/src/ViGraphEstimator.cpp) and the realtime half of
+ViSlamBackend (okvis_ceres/src/ViSlamBackend.cpp:71-886) — around the
+XLA constraint of fixed shapes:
+
+- ALL dynamic bookkeeping (which states/landmarks/observations exist,
+  keyframe flags, covisibility, marginalisation decisions) lives on the
+  host in plain Python/numpy — mirroring the reference's data structures.
+- every `optimise()` call *packs* the current window into the fixed-shape
+  `WindowProblem` and runs the single compiled LM program; results are
+  unpacked back. Packing is O(window) numpy work; the compiled program is
+  reused for the life of the process.
+- IMU segments keep their raw measurement buffers so "eliminateStateByImuMerge"
+  (ViGraphEstimator.cpp:57-157) is just buffer concatenation + lazy
+  re-preintegration (cached per link at a linearisation bias, redone when
+  the bias estimate drifts — same policy as ImuError, threshold 0.1).
+- keyframe -> pose-graph conversion computes a relocatable 6x6 relative
+  factor by landmark Schur marginalisation on device
+  (factors/two_pose.py ~ TwoPoseGraphError.cpp:146-387) and keeps the
+  original observations host-side for reversibility
+  (convertToObservations, ViGraphEstimator.cpp:758-835).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2_tpu.core import so3
+from okvis2_tpu.core.se3 import Transformation
+from okvis2_tpu.factors.two_pose import compute_two_pose_factor
+from okvis2_tpu.graph.mst import max_spanning_tree
+from okvis2_tpu.imu.preintegration import (
+    ImuParameters,
+    init_pose_from_accel,
+    preintegrate,
+    propagate_state,
+)
+from okvis2_tpu.solver.gauss_newton import solve_window
+from okvis2_tpu.solver.window_problem import SolverConfig, WindowProblem
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    # window composition (reference config/euroc.yaml:75-77)
+    num_keyframes: int = 5
+    num_imu_frames: int = 3
+    num_loop_closure_frames: int = 3
+    num_pose_graph_frames: int = 6  # unfrozen pose-graph frames kept in window
+    # capacities (static shapes)
+    window_slots: int = 16
+    landmark_slots: int = 512
+    obs_slots: int = 4096
+    imu_seg_capacity: int = 256
+    rel_slots: int = 32
+    two_pose_obs_capacity: int = 256
+    two_pose_lm_capacity: int = 96
+    # solver
+    realtime_iterations: int = 10
+    # landmark management (ViGraph::updateLandmarks, ViGraph.cpp:775-855)
+    min_parallax_quality: float = 1e-3
+    # bias deviation triggering IMU re-preintegration (ImuError.cpp:~865)
+    bias_redo_threshold: float = 0.1
+
+
+class StateRecord:
+    __slots__ = (
+        "id", "t", "pose", "speed_bias", "is_keyframe", "in_window",
+        "frozen", "is_pose_graph_frame", "imu_w", "imu_a", "imu_dt",
+    )
+
+    def __init__(self, sid, t, pose, speed_bias):
+        self.id = sid
+        self.t = float(t)
+        self.pose = np.asarray(pose, np.float64)  # [7]
+        self.speed_bias = np.asarray(speed_bias, np.float64)  # [9]
+        self.is_keyframe = False
+        self.in_window = True
+        self.frozen = False
+        self.is_pose_graph_frame = False
+        # raw IMU buffers from previous *window* state to this one
+        self.imu_w = np.zeros((0, 3))
+        self.imu_a = np.zeros((0, 3))
+        self.imu_dt = np.zeros((0,))
+
+
+class LandmarkRecord:
+    __slots__ = ("id", "hp_W", "quality", "initialised", "obs")
+
+    def __init__(self, lid, hp_W):
+        self.id = lid
+        self.hp_W = np.asarray(hp_W, np.float64)  # [4]
+        self.quality = 0.0
+        self.initialised = False
+        # obs: (state_id, cam_idx, kp_idx) -> (u, v, size)
+        self.obs: Dict[Tuple[int, int, int], Tuple[float, float, float]] = {}
+
+
+class PoseGraphEdge:
+    """A marginalisation or loop-closure relative-pose factor, reversible."""
+
+    __slots__ = ("id_i", "id_j", "T_ij", "sqrt_info", "stored_obs", "kind")
+
+    def __init__(self, id_i, id_j, T_ij, sqrt_info, stored_obs, kind):
+        self.id_i = id_i
+        self.id_j = id_j
+        self.T_ij = np.asarray(T_ij, np.float64)  # [7]
+        self.sqrt_info = np.asarray(sqrt_info, np.float64)  # [6,6]
+        # stored_obs: list of (lm_id, state_id, cam, kp, u, v, size) for
+        # reversibility (convert back to observations on loop closure)
+        self.stored_obs = stored_obs
+        self.kind = kind  # "marg" | "loop"
+
+
+class Estimator:
+    """Realtime sliding-window estimator (the `Estimator`/ViSlamBackend
+    realtime-graph role). Loop closure / full graph live in
+    pipeline/full_graph.py and reuse this class's records."""
+
+    def __init__(
+        self,
+        cameras: tuple,
+        extrinsics: List[Transformation],
+        imu_params: ImuParameters,
+        config: EstimatorConfig = EstimatorConfig(),
+    ):
+        self.cameras = tuple(cameras)
+        self.T_SC = [np.concatenate([np.asarray(T.r), np.asarray(T.q)])
+                     for T in extrinsics]
+        self.imu_params = imu_params
+        self.cfg = config
+        self.states: Dict[int, StateRecord] = {}
+        self.state_order: List[int] = []  # insertion/time order, all history
+        self.window: List[int] = []  # ids currently in the window
+        self.landmarks: Dict[int, LandmarkRecord] = {}
+        self.pose_graph_edges: List[PoseGraphEdge] = []
+        self._next_state_id = 0
+        self._next_lm_id = 0
+        self._pre_cache: Dict[int, Tuple[np.ndarray, object]] = {}
+        self._problem_template: Optional[WindowProblem] = None
+        self._solver_cfg = SolverConfig(max_iterations=config.realtime_iterations)
+        self.initialised = False
+
+    # ------------------------------------------------------------------
+    # state management (ViGraph::addStatesInitialise / addStatesPropagate)
+    # ------------------------------------------------------------------
+    def add_state(
+        self,
+        t: float,
+        imu_w: np.ndarray,
+        imu_a: np.ndarray,
+        imu_dt: np.ndarray,
+    ) -> int:
+        """Add a new state at time t, propagated through the given IMU
+        segment from the previous state. First call initialises from
+        gravity (ViGraph.cpp:79-191)."""
+        sid = self._next_state_id
+        self._next_state_id += 1
+
+        if not self.window:
+            # gravity-aligned initialisation + priors
+            a_mean = imu_a.mean(axis=0) if len(imu_a) else np.array([0, 0, 9.81])
+            T0 = init_pose_from_accel(jnp.asarray(a_mean))
+            pose = np.concatenate([np.asarray(T0.r), np.asarray(T0.q)])
+            rec = StateRecord(sid, t, pose, np.zeros(9))
+            self.states[sid] = rec
+            self.state_order.append(sid)
+            self.window.append(sid)
+            self.initialised = True
+            return sid
+
+        prev = self.states[self.window[-1]]
+        # propagate for the initial guess
+        T_prev = Transformation(
+            r=jnp.asarray(prev.pose[:3]), q=jnp.asarray(prev.pose[3:7])
+        )
+        if len(imu_dt):
+            T1, sb1 = propagate_state(
+                self.imu_params,
+                T_prev,
+                jnp.asarray(prev.speed_bias),
+                jnp.asarray(imu_w),
+                jnp.asarray(imu_a),
+                jnp.asarray(imu_dt),
+            )
+            pose = np.concatenate([np.asarray(T1.r), np.asarray(T1.q)])
+            sb = np.asarray(sb1)
+        else:
+            pose = prev.pose.copy()
+            sb = prev.speed_bias.copy()
+        rec = StateRecord(sid, t, pose, sb)
+        rec.imu_w = np.asarray(imu_w, np.float64)
+        rec.imu_a = np.asarray(imu_a, np.float64)
+        rec.imu_dt = np.asarray(imu_dt, np.float64)
+        self.states[sid] = rec
+        self.state_order.append(sid)
+        self.window.append(sid)
+        return sid
+
+    def set_keyframe(self, sid: int, is_kf: bool = True):
+        self.states[sid].is_keyframe = is_kf
+
+    # ------------------------------------------------------------------
+    # landmarks & observations (ViGraph header-inline add/remove)
+    # ------------------------------------------------------------------
+    def add_landmark(self, hp_W, initialised=False) -> int:
+        lid = self._next_lm_id
+        self._next_lm_id += 1
+        rec = LandmarkRecord(lid, hp_W)
+        rec.initialised = bool(initialised)
+        self.landmarks[lid] = rec
+        return lid
+
+    def add_observation(self, lm_id, state_id, cam_idx, kp_idx, uv, size=9.0):
+        self.landmarks[lm_id].obs[(state_id, cam_idx, kp_idx)] = (
+            float(uv[0]), float(uv[1]), float(size)
+        )
+
+    def remove_observation(self, lm_id, state_id, cam_idx, kp_idx):
+        self.landmarks[lm_id].obs.pop((state_id, cam_idx, kp_idx), None)
+
+    def merge_landmarks(self, keep_id: int, drop_id: int):
+        drop = self.landmarks.pop(drop_id, None)
+        if drop is None:
+            return
+        self.landmarks[keep_id].obs.update(drop.obs)
+
+    def clean_unobserved_landmarks(self, min_obs: int = 2):
+        """ViGraph::cleanUnobservedLandmarks (ViGraph.cpp:908+)."""
+        window = set(self.window)
+        dead = []
+        for lid, lm in self.landmarks.items():
+            n_win = sum(1 for (s, _, _) in lm.obs if s in window)
+            if n_win == 0 or (len(lm.obs) < min_obs and not lm.initialised):
+                dead.append(lid)
+        for lid in dead:
+            # only drop landmarks with no stored pose-graph observations
+            if not any(
+                any(o[0] == lid for o in e.stored_obs)
+                for e in self.pose_graph_edges
+            ):
+                del self.landmarks[lid]
+
+    # ------------------------------------------------------------------
+    # covisibility (ViGraph::covisibilities, ViGraph.cpp:505-563)
+    # ------------------------------------------------------------------
+    def covisibility(self, id_a: int, id_b: int) -> int:
+        n = 0
+        for lm in self.landmarks.values():
+            sa = any(k[0] == id_a for k in lm.obs)
+            if sa and any(k[0] == id_b for k in lm.obs):
+                n += 1
+        return n
+
+    def covisible_landmark_counts(self) -> Dict[int, Dict[int, int]]:
+        counts: Dict[int, Dict[int, int]] = {}
+        for lm in self.landmarks.values():
+            sids = {k[0] for k in lm.obs}
+            for a in sids:
+                for b in sids:
+                    if a < b:
+                        counts.setdefault(a, {}).setdefault(b, 0)
+                        counts[a][b] += 1
+        return counts
+
+    # ------------------------------------------------------------------
+    # IMU link handling with preintegration cache
+    # ------------------------------------------------------------------
+    def _get_preintegrated(self, sid: int):
+        """Preintegrate the raw buffer ending at state sid (cached)."""
+        rec = self.states[sid]
+        bg = rec.speed_bias[3:6]
+        ba = rec.speed_bias[6:9]
+        cached = self._pre_cache.get(sid)
+        if cached is not None:
+            bias_lin, pre, n_meas = cached
+            if (
+                n_meas == len(rec.imu_dt)
+                and np.linalg.norm(bias_lin - np.concatenate([bg, ba]))
+                < self.cfg.bias_redo_threshold
+            ):
+                return pre
+        cap = self.cfg.imu_seg_capacity
+        n = len(rec.imu_dt)
+        if n > cap:
+            # downsample by averaging adjacent pairs until it fits
+            w, a, dt = rec.imu_w, rec.imu_a, rec.imu_dt
+            while len(dt) > cap:
+                m = (len(dt) // 2) * 2
+                w2 = 0.5 * (w[:m:2] + w[1:m:2])
+                a2 = 0.5 * (a[:m:2] + a[1:m:2])
+                dt2 = dt[:m:2] + dt[1:m:2]
+                if m < len(dt):
+                    w2 = np.concatenate([w2, w[m:]])
+                    a2 = np.concatenate([a2, a[m:]])
+                    dt2 = np.concatenate([dt2, dt[m:]])
+                w, a, dt = w2, a2, dt2
+            wb, ab, dtb = w, a, dt
+            n = len(dtb)
+        else:
+            wb, ab, dtb = rec.imu_w, rec.imu_a, rec.imu_dt
+        w_pad = np.zeros((cap, 3)); w_pad[:n] = wb
+        a_pad = np.zeros((cap, 3)); a_pad[:n] = ab
+        dt_pad = np.zeros((cap,)); dt_pad[:n] = dtb
+        pre = preintegrate(
+            self.imu_params,
+            jnp.asarray(w_pad),
+            jnp.asarray(a_pad),
+            jnp.asarray(dt_pad),
+            jnp.asarray(bg),
+            jnp.asarray(ba),
+        )
+        pre = jax.tree_util.tree_map(np.asarray, pre)
+        self._pre_cache[sid] = (
+            np.concatenate([bg, ba]), pre, len(rec.imu_dt)
+        )
+        return pre
+
+    # ------------------------------------------------------------------
+    # packing: host records -> WindowProblem
+    # ------------------------------------------------------------------
+    def _window_landmarks(self) -> List[int]:
+        """Landmarks observed from the window, best-first, up to capacity."""
+        window = set(self.window)
+        scored = []
+        for lid, lm in self.landmarks.items():
+            n_win = sum(1 for (s, _, _) in lm.obs if s in window)
+            if n_win >= 2 and lm.initialised:
+                scored.append((n_win, lid))
+        scored.sort(reverse=True)
+        return [lid for _, lid in scored[: self.cfg.landmark_slots]]
+
+    def pack(self) -> WindowProblem:
+        cfg = self.cfg
+        S, L, O = cfg.window_slots, cfg.landmark_slots, cfg.obs_slots
+        NC = len(self.cameras)
+        prob = WindowProblem.empty(S, L, O, NC, cfg.imu_seg_capacity,
+                                   num_rel=cfg.rel_slots)
+        win = self.window[-S:]
+        slot_of = {sid: i for i, sid in enumerate(win)}
+        n_win = len(win)
+
+        pose = np.array(prob.pose)
+        sb = np.array(prob.speed_bias)
+        smask = np.zeros(S, bool)
+        pfroz = np.zeros(S, bool)
+        sbfroz = np.zeros(S, bool)
+        for sid, i in slot_of.items():
+            rec = self.states[sid]
+            pose[i] = rec.pose
+            sb[i] = rec.speed_bias
+            smask[i] = True
+            pfroz[i] = rec.frozen
+            sbfroz[i] = rec.frozen
+
+        # landmarks
+        lm_ids = self._window_landmarks()
+        lm_slot = {lid: i for i, lid in enumerate(lm_ids)}
+        lms = np.array(prob.landmarks)
+        lmask = np.zeros(L, bool)
+        for lid, i in lm_slot.items():
+            lms[i] = self.landmarks[lid].hp_W
+            lmask[i] = True
+
+        # observations
+        o_state = np.zeros(O, np.int32)
+        o_cam = np.zeros(O, np.int32)
+        o_lm = np.zeros(O, np.int32)
+        o_uv = np.zeros((O, 2))
+        o_w = np.ones(O)
+        o_mask = np.zeros(O, bool)
+        k = 0
+        for lid in lm_ids:
+            for (sid2, ci, _kp), (u, v, size) in self.landmarks[lid].obs.items():
+                if sid2 in slot_of and k < O:
+                    o_state[k] = slot_of[sid2]
+                    o_cam[k] = ci
+                    o_lm[k] = lm_slot[lid]
+                    o_uv[k] = (u, v)
+                    o_w[k] = 8.0 / size
+                    o_mask[k] = True
+                    k += 1
+
+        # IMU links between consecutive window slots
+        pres = []
+        imu_mask = np.zeros(S - 1, bool)
+        for i in range(n_win - 1):
+            nxt = self.states[win[i + 1]]
+            if len(nxt.imu_dt):
+                pres.append((i, self._get_preintegrated(win[i + 1])))
+                imu_mask[i] = True
+        imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)
+        for i, pre in pres:
+            imu_pre = jax.tree_util.tree_map(
+                lambda full, one: _set_row(full, i, one), imu_pre, pre
+            )
+
+        # priors: gravity-aligned init prior on the oldest ever state if it
+        # is still in the window (ViGraph.cpp:120-170)
+        pp_T = np.array(prob.pose_prior)
+        pp_sq = np.zeros((S, 6, 6))
+        pp_m = np.zeros(S, bool)
+        sb_p = np.zeros((S, 9))
+        sb_sq = np.zeros((S, 9))
+        sb_m = np.zeros(S, bool)
+        first_id = self.state_order[0]
+        if first_id in slot_of:
+            i = slot_of[first_id]
+            rec = self.states[first_id]
+            pp_T[i] = rec.pose
+            # strong position/yaw fixation, weaker roll/pitch (observable)
+            pp_sq[i] = np.diag([1e4, 1e4, 1e4, 1e2, 1e2, 1e4])
+            pp_m[i] = True
+            sb_p[i] = rec.speed_bias
+            sb_sq[i] = np.concatenate([
+                np.full(3, 10.0),      # speed prior ~0.1 m/s
+                np.full(3, 1.0 / 0.03),  # gyro bias prior sigma_bg
+                np.full(3, 1.0 / 0.1),   # accel bias prior sigma_ba
+            ])
+            sb_m[i] = True
+
+        # relative-pose edges with both endpoints in window
+        R = cfg.rel_slots
+        r_i = np.zeros(R, np.int32)
+        r_j = np.zeros(R, np.int32)
+        r_T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (R, 1))
+        r_sq = np.zeros((R, 6, 6))
+        r_m = np.zeros(R, bool)
+        k = 0
+        for e in self.pose_graph_edges:
+            if e.id_i in slot_of and e.id_j in slot_of and k < R:
+                r_i[k] = slot_of[e.id_i]
+                r_j[k] = slot_of[e.id_j]
+                r_T[k] = e.T_ij
+                r_sq[k] = e.sqrt_info
+                r_m[k] = True
+                k += 1
+
+        prob = dataclasses.replace(
+            prob,
+            pose=jnp.asarray(pose),
+            speed_bias=jnp.asarray(sb),
+            extrinsics=jnp.asarray(np.stack(self.T_SC)),
+            landmarks=jnp.asarray(lms),
+            state_mask=jnp.asarray(smask),
+            pose_frozen=jnp.asarray(pfroz),
+            sb_frozen=jnp.asarray(sbfroz),
+            lm_mask=jnp.asarray(lmask),
+            obs_state=jnp.asarray(o_state),
+            obs_cam=jnp.asarray(o_cam),
+            obs_lm=jnp.asarray(o_lm),
+            obs_uv=jnp.asarray(o_uv),
+            obs_sqrt_info=jnp.asarray(o_w),
+            obs_mask=jnp.asarray(o_mask),
+            imu_pre=jax.tree_util.tree_map(jnp.asarray, imu_pre),
+            imu_mask=jnp.asarray(imu_mask),
+            pose_prior=jnp.asarray(pp_T),
+            pose_prior_sqrt=jnp.asarray(pp_sq),
+            pose_prior_mask=jnp.asarray(pp_m),
+            sb_prior=jnp.asarray(sb_p),
+            sb_prior_sqrt=jnp.asarray(sb_sq),
+            sb_prior_mask=jnp.asarray(sb_m),
+            rel_i=jnp.asarray(r_i),
+            rel_j=jnp.asarray(r_j),
+            rel_T=jnp.asarray(r_T),
+            rel_sqrt=jnp.asarray(r_sq),
+            rel_mask=jnp.asarray(r_m),
+        )
+        self._lm_ids = lm_ids
+        self._slot_of = slot_of
+        return prob
+
+    def unpack(self, prob: WindowProblem):
+        pose = np.array(prob.pose)
+        sb = np.array(prob.speed_bias)
+        for sid, i in self._slot_of.items():
+            rec = self.states[sid]
+            if not rec.frozen:
+                rec.pose = pose[i]
+                rec.speed_bias = sb[i]
+        lms = np.asarray(prob.landmarks)
+        for i, lid in enumerate(self._lm_ids):
+            self.landmarks[lid].hp_W = lms[i]
+
+    # ------------------------------------------------------------------
+    def optimise(self, iterations: Optional[int] = None) -> dict:
+        """optimiseRealtimeGraph (ViSlamBackend.cpp:712-886)."""
+        prob = self.pack()
+        cfg = self._solver_cfg
+        if iterations is not None and iterations != cfg.max_iterations:
+            cfg = dataclasses.replace(cfg, max_iterations=iterations)
+        solved, stats = solve_window(prob, self.cameras, self.imu_params, cfg)
+        self.unpack(solved)
+        self.update_landmark_quality()
+        return {k: np.asarray(v) for k, v in stats.items()}
+
+    # ------------------------------------------------------------------
+    def update_landmark_quality(self):
+        """Parallax-based landmark quality (ViGraph::updateLandmarks,
+        ViGraph.cpp:775-855: quality = sqrt of smallest eigenvalue of the
+        summed direction outer products; initialise when > threshold)."""
+        window = set(self.window)
+        for lm in self.landmarks.values():
+            dirs = []
+            p = lm.hp_W[:3] / (lm.hp_W[3] if abs(lm.hp_W[3]) > 1e-12 else 1e-12)
+            for (sid, ci, _kp) in lm.obs:
+                if sid not in window:
+                    continue
+                rec = self.states[sid]
+                d = p - rec.pose[:3]
+                n = np.linalg.norm(d)
+                if n > 1e-9:
+                    dirs.append(d / n)
+            if len(dirs) >= 2:
+                Dm = np.stack(dirs)
+                M = Dm.T @ Dm / len(dirs)
+                ev = np.linalg.eigvalsh(M)
+                lm.quality = float(np.sqrt(max(ev[0], 0.0)))
+                if lm.quality > self.cfg.min_parallax_quality:
+                    lm.initialised = True
+
+    # ------------------------------------------------------------------
+    # marginalisation (applyStrategy, ViSlamBackend.cpp:451-710)
+    # ------------------------------------------------------------------
+    def apply_marginalisation_strategy(self):
+        self._eliminate_imu_frames()
+        self._convert_keyframes_to_pose_graph()
+        self._freeze_and_shrink()
+
+    def _eliminate_imu_frames(self):
+        """Merge non-keyframe states older than the IMU-frame horizon into
+        their successors' IMU buffers (eliminateStateByImuMerge,
+        ViGraphEstimator.cpp:57-157)."""
+        cfg = self.cfg
+        # the newest num_imu_frames states are protected
+        protected = set(self.window[-cfg.num_imu_frames:])
+        for sid in list(self.window[:-cfg.num_imu_frames]):
+            rec = self.states[sid]
+            if rec.is_keyframe or sid in protected:
+                continue
+            idx = self.window.index(sid)
+            if idx == 0 or idx >= len(self.window) - 1:
+                continue
+            nxt = self.states[self.window[idx + 1]]
+            # remove its observations
+            for lm in self.landmarks.values():
+                for key in [k for k in lm.obs if k[0] == sid]:
+                    del lm.obs[key]
+            # merge IMU buffers into successor
+            nxt.imu_w = np.concatenate([rec.imu_w, nxt.imu_w])
+            nxt.imu_a = np.concatenate([rec.imu_a, nxt.imu_a])
+            nxt.imu_dt = np.concatenate([rec.imu_dt, nxt.imu_dt])
+            self._pre_cache.pop(nxt.id, None)
+            self._pre_cache.pop(sid, None)
+            rec.in_window = False
+            self.window.remove(sid)
+
+    def _convert_keyframes_to_pose_graph(self, max_convert: int = 3):
+        """Turn the least-covisible excess keyframes into pose-graph frames
+        (convertToPoseGraphMst, ViGraphEstimator.cpp:319-574)."""
+        cfg = self.cfg
+        kf_in_window = [s for s in self.window if self.states[s].is_keyframe]
+        n_excess = len(kf_in_window) - cfg.num_keyframes
+        if n_excess <= 0:
+            return
+        newest_kf = kf_in_window[-1]
+        # covisibility against the newest keyframe decides who leaves
+        cov_new = {s: self.covisibility(s, newest_kf) for s in kf_in_window[:-1]}
+        to_convert = sorted(cov_new, key=cov_new.get)[: min(n_excess, max_convert)]
+        for sid in to_convert:
+            self._convert_one_keyframe(sid)
+
+    def _convert_one_keyframe(self, sid: int):
+        cfg = self.cfg
+        rec = self.states[sid]
+        # strongest covisible keyframe still in window = reference frame
+        partners = [
+            s for s in self.window
+            if s != sid and self.states[s].is_keyframe
+        ]
+        if not partners:
+            # nothing to anchor against: just drop observations
+            self._strip_observations(sid)
+            rec.is_pose_graph_frame = True
+            return
+        cov = [(self.covisibility(sid, p), p) for p in partners]
+        cov.sort(reverse=True)
+        ref = cov[0][1]
+
+        # gather shared observations (both frames' obs of common landmarks)
+        shared = []
+        lm_list = []
+        for lid, lm in self.landmarks.items():
+            keys_i = [k for k in lm.obs if k[0] == ref]
+            keys_j = [k for k in lm.obs if k[0] == sid]
+            if keys_i and keys_j and lm.initialised:
+                lm_list.append(lid)
+        lm_list = lm_list[: cfg.two_pose_lm_capacity]
+        lm_idx = {lid: i for i, lid in enumerate(lm_list)}
+        obs_rows = []
+        stored = []
+        for lid in lm_list:
+            lm = self.landmarks[lid]
+            for (s, ci, kp), (u, v, size) in lm.obs.items():
+                if s == ref or s == sid:
+                    obs_rows.append(
+                        (0.0 if s == ref else 1.0, ci, lm_idx[lid], u, v,
+                         8.0 / size)
+                    )
+                if s == sid:
+                    stored.append((lid, s, ci, kp, u, v, size))
+
+        if len(lm_list) >= 3 and len(obs_rows) >= 8:
+            Oc = cfg.two_pose_obs_capacity
+            Lc = cfg.two_pose_lm_capacity
+            obs_arr = np.zeros((Oc, 6))
+            obs_m = np.zeros(Oc, bool)
+            n = min(len(obs_rows), Oc)
+            obs_arr[:n] = np.asarray(obs_rows[:n])
+            obs_m[:n] = True
+            hp = np.zeros((Lc, 4))
+            hp[:, 3] = 1.0
+            lmm = np.zeros(Lc, bool)
+            for lid, i in lm_idx.items():
+                hp[i] = self.landmarks[lid].hp_W
+                lmm[i] = True
+            out = compute_two_pose_factor(
+                jnp.asarray(self.states[ref].pose),
+                jnp.asarray(rec.pose),
+                jnp.asarray(np.stack(self.T_SC)),
+                jnp.asarray(hp),
+                jnp.asarray(obs_arr),
+                jnp.asarray(obs_m),
+                jnp.asarray(lmm),
+                self.cameras,
+            )
+            self.pose_graph_edges.append(
+                PoseGraphEdge(
+                    ref, sid, np.asarray(out["T_ij"]),
+                    np.asarray(out["sqrt_info"]), stored, "marg",
+                )
+            )
+        # remove this frame's observations from the live graph
+        self._strip_observations(sid)
+        rec.is_pose_graph_frame = True
+
+    def _strip_observations(self, sid: int):
+        for lm in self.landmarks.values():
+            for key in [k for k in lm.obs if k[0] == sid]:
+                del lm.obs[key]
+
+    def _freeze_and_shrink(self):
+        """Freeze old pose-graph frames; drop states from the window when
+        all their constraints are frozen (freezePosesUntil,
+        ViGraphEstimator.cpp:201-318)."""
+        cfg = self.cfg
+        pg = [s for s in self.window if self.states[s].is_pose_graph_frame]
+        # keep the newest num_pose_graph_frames unfrozen
+        for sid in pg[:-cfg.num_pose_graph_frames] if cfg.num_pose_graph_frames else pg:
+            self.states[sid].frozen = True
+        # drop frozen pose-graph frames whose edges all touch frozen states
+        for sid in list(self.window):
+            rec = self.states[sid]
+            if not (rec.is_pose_graph_frame and rec.frozen):
+                continue
+            partners_unfrozen = any(
+                (e.id_i == sid and not self.states[e.id_j].frozen)
+                or (e.id_j == sid and not self.states[e.id_i].frozen)
+                for e in self.pose_graph_edges
+            )
+            has_obs = any(
+                any(k[0] == sid for k in lm.obs)
+                for lm in self.landmarks.values()
+            )
+            if not partners_unfrozen and not has_obs:
+                rec.in_window = False
+                self.window.remove(sid)
+        # hard cap: force-drop oldest frozen states beyond capacity
+        while len(self.window) > cfg.window_slots:
+            for sid in self.window:
+                if self.states[sid].frozen:
+                    self.states[sid].in_window = False
+                    self.window.remove(sid)
+                    break
+            else:
+                # nothing frozen to drop: freeze the oldest
+                self.states[self.window[0]].frozen = True
+
+    # ------------------------------------------------------------------
+    def get_pose(self, sid: int) -> np.ndarray:
+        return self.states[sid].pose
+
+    def trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        return [
+            (self.states[s].t, self.states[s].pose) for s in self.state_order
+        ]
+
+
+def _set_row(full: np.ndarray, i: int, one: np.ndarray) -> np.ndarray:
+    full = np.asarray(full).copy()
+    full[i] = np.asarray(one)
+    return full

@@ -1,0 +1,231 @@
+"""Dataset readers + synthetic dataset generation.
+
+EurocDatasetReader covers the reference's DatasetReader
+(okvis_multisensor_processing/src/DatasetReader.cpp: EuRoC/ASL folder
+format `mav0/camN/data.csv` + images, `imu0/data.csv`) with the same
+callback contract (ViSensorBase, ViSensorBase.hpp:56-123). The reference
+streams from its own thread; here `stream()` is a generator the caller
+drains (the pipeline is synchronous-by-construction on one device) and
+`start_streaming()` offers the threaded variant for live-style feeding.
+
+SyntheticDataset renders a deterministic textured world along an analytic
+trajectory with exact IMU — the end-to-end fixture the reference lacks
+(SURVEY.md §4: "no integration/dataset regression tests").
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import threading
+from typing import Callable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class EurocDatasetReader:
+    """EuRoC/ASL folder reader: `<path>/mav0/cam{i}/data.csv` + data/,
+    `<path>/mav0/imu0/data.csv`."""
+
+    def __init__(self, path: str, num_cameras: int = 2):
+        self.path = path
+        self.num_cameras = num_cameras
+        self.imu_callback: Optional[Callable] = None
+        self.images_callback: Optional[Callable] = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = False
+
+    def set_imu_callback(self, cb: Callable):
+        self.imu_callback = cb
+
+    def set_images_callback(self, cb: Callable):
+        self.images_callback = cb
+
+    def _read_imu(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
+        rows = []
+        fn = os.path.join(self.path, "mav0", "imu0", "data.csv")
+        with open(fn) as f:
+            for row in csv.reader(f):
+                if row[0].startswith("#"):
+                    continue
+                t = int(row[0]) * 1e-9
+                gyr = np.asarray([float(x) for x in row[1:4]])
+                acc = np.asarray([float(x) for x in row[4:7]])
+                rows.append((t, acc, gyr))
+        return rows
+
+    def _read_cam_index(self, ci: int) -> List[Tuple[float, str]]:
+        rows = []
+        fn = os.path.join(self.path, "mav0", f"cam{ci}", "data.csv")
+        with open(fn) as f:
+            for row in csv.reader(f):
+                if row[0].startswith("#"):
+                    continue
+                rows.append(
+                    (int(row[0]) * 1e-9,
+                     os.path.join(self.path, "mav0", f"cam{ci}", "data",
+                                  row[1].strip()))
+                )
+        return rows
+
+    @staticmethod
+    def _load_image(fn: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(fn, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise IOError(f"cannot read {fn}")
+        return img.astype(np.float32) / 255.0
+
+    def stream(self, sync_tolerance: float = 0.005) -> Iterator[tuple]:
+        """Yield ('imu', t, acc, gyr) and ('images', t, [img...]) events in
+        time order, with camera frames synced across cameras
+        (DatasetReader sync-group logic)."""
+        imu = self._read_imu()
+        cams = [self._read_cam_index(ci) for ci in range(self.num_cameras)]
+        # sync camera frames by nearest timestamps (cam0 is master)
+        frames = []
+        ptrs = [0] * self.num_cameras
+        for t0, fn0 in cams[0]:
+            fns = [fn0]
+            ok = True
+            for ci in range(1, self.num_cameras):
+                while (
+                    ptrs[ci] + 1 < len(cams[ci])
+                    and cams[ci][ptrs[ci] + 1][0] <= t0 + sync_tolerance
+                ):
+                    ptrs[ci] += 1
+                tc, fnc = cams[ci][ptrs[ci]]
+                if abs(tc - t0) > sync_tolerance:
+                    ok = False
+                    break
+                fns.append(fnc)
+            if ok:
+                frames.append((t0, fns))
+
+        ii = 0
+        for t, fns in frames:
+            while ii < len(imu) and imu[ii][0] <= t + 0.005:
+                yield ("imu", imu[ii][0], imu[ii][1], imu[ii][2])
+                ii += 1
+            yield ("images", t, [self._load_image(f) for f in fns])
+        while ii < len(imu):
+            yield ("imu", imu[ii][0], imu[ii][1], imu[ii][2])
+            ii += 1
+
+    def start_streaming(self):
+        def run():
+            for ev in self.stream():
+                if self._stop:
+                    break
+                if ev[0] == "imu" and self.imu_callback:
+                    self.imu_callback(ev[1], ev[2], ev[3])
+                elif ev[0] == "images" and self.images_callback:
+                    self.images_callback(ev[1], ev[2])
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def stop_streaming(self):
+        self._stop = True
+        if self._thread:
+            self._thread.join()
+
+
+class SyntheticDataset:
+    """Deterministic textured-world renderer along an analytic trajectory.
+
+    The world is a field of small constant-intensity squares ("stars");
+    each frame renders their projections into every camera. IMU comes from
+    the analytic derivatives (utils/synthetic.py).
+    """
+
+    def __init__(
+        self,
+        cameras,
+        extrinsics,
+        imu_params,
+        n_stars: int = 3000,
+        duration: float = 10.0,
+        frame_rate: float = 10.0,
+        imu_rate: float = 200.0,
+        seed: int = 0,
+        imu_noise: float = 0.0,
+    ):
+        from okvis2_tpu.utils import synthetic
+
+        self.syn = synthetic
+        self.cameras = cameras
+        self.extrinsics = extrinsics
+        self.imu_params = imu_params
+        self.duration = duration
+        self.frame_rate = frame_rate
+        self.imu_rate = imu_rate
+        self.imu_noise = imu_noise
+        rng = np.random.default_rng(seed)
+        # stars distributed in a shell in front of/around the trajectory
+        self.stars = np.concatenate(
+            [
+                rng.uniform(-6, 10, (n_stars, 1)),
+                rng.uniform(-6, 6, (n_stars, 1)),
+                rng.uniform(2.0, 12.0, (n_stars, 1)),
+            ],
+            axis=-1,
+        )
+        self.star_intensity = rng.uniform(0.25, 1.0, n_stars)
+        self.star_size = rng.integers(2, 5, n_stars)
+
+    def render(self, T_WS) -> List[np.ndarray]:
+        """Render all cameras at body pose T_WS (numpy [7])."""
+        import jax
+        import jax.numpy as jnp
+        from okvis2_tpu.core.se3 import Transformation
+
+        out = []
+        T = Transformation(r=jnp.asarray(T_WS[:3]), q=jnp.asarray(T_WS[3:7]))
+        for cam, T_SC in zip(self.cameras, self.extrinsics):
+            T_CW = (T @ T_SC).inverse()
+            p_C = np.asarray(jax.vmap(T_CW.apply)(jnp.asarray(self.stars)))
+            uv, valid = cam.project(jnp.asarray(p_C))
+            uv = np.asarray(uv)
+            valid = np.asarray(valid) & (p_C[:, 2] > 0.2)
+            img = np.zeros((cam.height, cam.width), np.float32)
+            for k in np.nonzero(valid)[0]:
+                x, y = uv[k]
+                s = int(self.star_size[k])
+                x0, y0 = int(round(x)) - s // 2, int(round(y)) - s // 2
+                x1, y1 = x0 + s, y0 + s
+                x0c, y0c = max(x0, 0), max(y0, 0)
+                x1c, y1c = min(x1, cam.width), min(y1, cam.height)
+                if x1c > x0c and y1c > y0c:
+                    img[y0c:y1c, x0c:x1c] = np.maximum(
+                        img[y0c:y1c, x0c:x1c], self.star_intensity[k]
+                    )
+            out.append(img)
+        return out
+
+    def stream(self) -> Iterator[tuple]:
+        import jax
+
+        rng = np.random.default_rng(123)
+        n_frames = int(self.duration * self.frame_rate)
+        imu_dt = 1.0 / self.imu_rate
+        t_imu = 0.0
+        for fi in range(n_frames):
+            t = fi / self.frame_rate
+            while t_imu <= t + 1e-9:
+                w, a = self.syn.imu_at(t_imu, self.imu_params)
+                w = np.asarray(w)
+                a = np.asarray(a)
+                if self.imu_noise > 0:
+                    w = w + rng.normal(0, self.imu_noise * 1e-2, 3)
+                    a = a + rng.normal(0, self.imu_noise * 1e-1, 3)
+                yield ("imu", t_imu, a, w)
+                t_imu += imu_dt
+            T_gt, _ = self.syn.true_state(t)
+            pose = np.concatenate([np.asarray(T_gt.r), np.asarray(T_gt.q)])
+            yield ("images", t, self.render(pose), pose)
+
+    def ground_truth(self, t: float) -> np.ndarray:
+        T_gt, _ = self.syn.true_state(t)
+        return np.concatenate([np.asarray(T_gt.r), np.asarray(T_gt.q)])

