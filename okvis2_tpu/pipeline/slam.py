@@ -52,12 +52,25 @@ class SlamSystem:
         imu_params: ImuParameters,
         estimator_config: EstimatorConfig = EstimatorConfig(),
         frontend_config: FrontendConfig = FrontendConfig(),
+        do_loop_closures: bool = False,
+        loop_closure_config=None,
     ):
         self.estimator = Estimator(
             cameras, extrinsics, imu_params, estimator_config
         )
         self.frontend = Frontend(cameras, extrinsics, frontend_config)
         self.imu_params = imu_params
+        self.loop_backend = None
+        if do_loop_closures:
+            from okvis2_tpu.pipeline.full_graph import (
+                LoopClosureBackend,
+                LoopClosureConfig,
+            )
+
+            self.loop_backend = LoopClosureBackend(
+                cameras, extrinsics,
+                loop_closure_config or LoopClosureConfig(),
+            )
         self._imu_queue: Deque[Tuple[float, np.ndarray, np.ndarray]] = (
             collections.deque()
         )
@@ -121,28 +134,45 @@ class SlamSystem:
             r=jnp.asarray(rec.pose[:3]), q=jnp.asarray(rec.pose[3:7])
         )
 
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
         # 1. detect + describe (batched device call)
-        frames = self.frontend.detect_and_describe(images)
+        with SwitchableTimer("1 detect+describe"):
+            frames = self.frontend.detect_and_describe(images)
 
         # 2. data association
-        m = self.frontend.match_to_map(est, frames, sid, T_WS_pred)
+        with SwitchableTimer("2.01 match to map"):
+            m = self.frontend.match_to_map(est, frames, sid, T_WS_pred)
         if self.frontend.cfg.use_ransac and m["num_matched"] >= 8:
-            self.frontend.ransac_3d2d(est, sid, frames, T_WS_pred)
+            with SwitchableTimer("2.02 ransac 3d2d"):
+                self.frontend.ransac_3d2d(est, sid, frames, T_WS_pred)
 
         # 3. keyframe decision (before stereo init, like the reference)
         is_kf = self.frontend.need_new_keyframe(est, frames, sid)
         est.set_keyframe(sid, is_kf)
+        loop_old_id = None
         if is_kf:
             self.frontend.last_keyframe_id = sid
             # 4. static-stereo initialisation of new landmarks
             self.frontend.match_stereo(est, frames, sid)
+            # 4b. place recognition / loop closure (Frontend.cpp:674-899)
+            if self.loop_backend is not None:
+                loop_old_id = self.loop_backend.detect_loop(est, sid, frames)
+                self.loop_backend.add_keyframe(est, sid, frames)
 
         # 5. optimise the realtime window
-        stats = est.optimise()
+        with SwitchableTimer("3 optimise"):
+            stats = est.optimise()
+
+        # 5b. loop closure: add edge + full-graph solve (inline; see
+        # full_graph.py for why no background thread is needed on TPU)
+        if loop_old_id is not None:
+            self.loop_backend.close_loop(est, loop_old_id, sid, frames)
 
         # 6. marginalisation strategy
-        est.apply_marginalisation_strategy()
-        est.clean_unobserved_landmarks()
+        with SwitchableTimer("5 marginalise"):
+            est.apply_marginalisation_strategy()
+            est.clean_unobserved_landmarks()
 
         # 7. tracking state + callbacks
         q = self.frontend.tracking_quality(est, frames, sid)

@@ -160,12 +160,20 @@ def problem_cost(
     cameras,
     imu_params: ImuParameters,
     config: SolverConfig = SolverConfig(),
+    axis_name=None,
 ) -> jnp.ndarray:
-    """Total robustified cost 0.5 * sum(rho(|r|^2))."""
+    """Total robustified cost 0.5 * sum(rho(|r|^2)).
+
+    With `axis_name`, observations are assumed sharded over that mesh axis
+    (their partial cost is psum'd); the other factor groups are assumed
+    replicated.
+    """
     r_obs, _ = _reproj_residuals(problem, cameras)
     s = jnp.sum(r_obs * r_obs, axis=-1)
     c2 = config.cauchy_scale**2
     cost_obs = 0.5 * jnp.sum(c2 * jnp.log1p(s / c2))
+    if axis_name is not None:
+        cost_obs = jax.lax.psum(cost_obs, axis_name)
     r_imu, r_pp, r_sbp, r_rel = _other_residuals(problem, imu_params)
     return (
         cost_obs
@@ -180,10 +188,15 @@ def problem_cost(
 # linearisation
 # ---------------------------------------------------------------------------
 
-def _linearize(problem: WindowProblem, cameras, imu_params, config):
+def _linearize(problem: WindowProblem, cameras, imu_params, config,
+               axis_name=None):
     """Build the Schur-reduced normal equations at the current estimate.
 
     Returns (Hxx [D,D], bx [D], Hll [L,3,3], bl [L,3], W [L,D,3], free_x [D]).
+
+    With `axis_name`, observation/landmark arrays are assumed sharded over
+    that mesh axis: the dense observation contributions to (Hxx, bx) are
+    psum'd to replicated; the landmark blocks (Hll, bl, W) stay local.
     """
     S, L, NC, O = problem.S, problem.L, problem.NC, problem.O
     dtype = problem.pose.dtype
@@ -257,6 +270,11 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config):
 
     Hxx = jnp.einsum("oid,oie->de", Jx, Jx)
     bx = -jnp.einsum("oid,oi->d", Jx, r0)
+    if axis_name is not None:
+        # observations are sharded; their dense contribution must be
+        # all-reduced before the replicated factors are added
+        Hxx = jax.lax.psum(Hxx, axis_name)
+        bx = jax.lax.psum(bx, axis_name)
 
     # landmark blocks via segment-sum over landmark index
     Hll = jax.ops.segment_sum(
@@ -392,8 +410,16 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config):
     return Hxx, bx, Hll, bl, W, free_x
 
 
-def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config):
-    """Damped Schur-complement solve. Returns (dx [D], dl [L,3])."""
+def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config,
+                 axis_name=None):
+    """Damped Schur-complement solve. Returns (dx [D], dl [L,3]).
+
+    With `axis_name`, the landmark blocks are assumed sharded over that
+    mesh axis: the reduced system is formed with one psum over the
+    Schur contributions (the only collective in the solve — the
+    multi-chip full-graph BA design, SURVEY.md §5), the dense solve is
+    replicated, and the landmark back-substitution stays local.
+    """
     dtype = Hxx.dtype
     D = Hxx.shape[0]
     L = Hll.shape[0]
@@ -413,8 +439,13 @@ def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config):
 
     # reduced system
     WHinv = jnp.einsum("lds,lst->ldt", W, Hll_inv)  # [L,D,3]
-    S_red = Hxx - jnp.einsum("ldt,let->de", WHinv, W)
-    b_red = bx - jnp.einsum("ldt,lt->d", WHinv, bl_m)
+    schur_H = jnp.einsum("ldt,let->de", WHinv, W)
+    schur_b = jnp.einsum("ldt,lt->d", WHinv, bl_m)
+    if axis_name is not None:
+        schur_H = jax.lax.psum(schur_H, axis_name)
+        schur_b = jax.lax.psum(schur_b, axis_name)
+    S_red = Hxx - schur_H
+    b_red = bx - schur_b
 
     # damp states; pin frozen dims
     diag_xx = jnp.diagonal(Hxx)
@@ -453,26 +484,30 @@ def dataclasses_replace(problem: WindowProblem, **kw) -> WindowProblem:
     return dataclasses.replace(problem, **kw)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def solve_window(
+def solve_window_impl(
     problem: WindowProblem,
     cameras,
     imu_params: ImuParameters,
     config: SolverConfig = SolverConfig(),
+    axis_name=None,
 ):
-    """Run the LM loop. Returns (problem', stats dict)."""
-    cost0 = problem_cost(problem, cameras, imu_params, config)
+    """Unjitted LM loop body (jit via `solve_window`, or embed in a larger
+    jitted program — including shard_map'd with `axis_name` for the
+    landmark-sharded multi-chip full-graph solve). Returns
+    (problem', stats dict)."""
+    cost0 = problem_cost(problem, cameras, imu_params, config, axis_name)
 
     def body(carry):
         prob, lam, cost, it, stall = carry
         Hxx, bx, Hll, bl, W, free_x = _linearize(
-            prob, cameras, imu_params, config
+            prob, cameras, imu_params, config, axis_name
         )
         dx, dl = _schur_solve(
-            Hxx, bx, Hll, bl, W, free_x, prob.lm_mask, lam, config
+            Hxx, bx, Hll, bl, W, free_x, prob.lm_mask, lam, config,
+            axis_name=axis_name,
         )
         cand = _apply_deltas(prob, dx, dl)
-        new_cost = problem_cost(cand, cameras, imu_params, config)
+        new_cost = problem_cost(cand, cameras, imu_params, config, axis_name)
         accept = new_cost < cost
         prob = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, prob
@@ -503,3 +538,6 @@ def solve_window(
     stats = {"initial_cost": cost0, "final_cost": cost, "iterations": it,
              "lambda": lam}
     return prob, stats
+
+
+solve_window = jax.jit(solve_window_impl, static_argnums=(3,))
