@@ -132,6 +132,117 @@ class EurocDatasetReader:
             self._thread.join()
 
 
+class RpgDatasetReader:
+    """UZH-RPG format reader (reference: okvis_multisensor_processing/src/
+    RpgDatasetReader.cpp): `images.txt` (id t path), `imu.txt`
+    (id t wx wy wz ax ay az), optionally `left_images.txt`/
+    `right_images.txt` for stereo."""
+
+    def __init__(self, path: str, num_cameras: int = 1):
+        self.path = path
+        self.num_cameras = num_cameras
+
+    def _read_images_index(self, fn):
+        out = []
+        with open(os.path.join(self.path, fn)) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.split()
+                out.append((float(parts[1]),
+                            os.path.join(self.path, parts[2])))
+        return out
+
+    def _read_imu(self):
+        out = []
+        with open(os.path.join(self.path, "imu.txt")) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                p = [float(x) for x in line.split()]
+                # id t wx wy wz ax ay az
+                out.append((p[1], np.asarray(p[5:8]), np.asarray(p[2:5])))
+        return out
+
+    def stream(self, sync_tolerance: float = 0.005) -> Iterator[tuple]:
+        if self.num_cameras >= 2 and os.path.exists(
+            os.path.join(self.path, "left_images.txt")
+        ):
+            left = self._read_images_index("left_images.txt")
+            right = self._read_images_index("right_images.txt")
+            frames = []
+            for (tl, fl), (tr, fr) in zip(left, right):
+                if abs(tl - tr) <= sync_tolerance:
+                    frames.append((tl, [fl, fr]))
+        else:
+            frames = [(t, [f]) for t, f in self._read_images_index("images.txt")]
+        imu = self._read_imu()
+        ii = 0
+        for t, fns in frames:
+            while ii < len(imu) and imu[ii][0] <= t + 0.005:
+                yield ("imu", imu[ii][0], imu[ii][1], imu[ii][2])
+                ii += 1
+            yield ("images", t,
+                   [EurocDatasetReader._load_image(f) for f in fns])
+        while ii < len(imu):
+            yield ("imu", imu[ii][0], imu[ii][1], imu[ii][2])
+            ii += 1
+
+
+class DatasetWriter:
+    """Record a live stream into EuRoC folder format (reference:
+    okvis_multisensor_processing/src/DatasetWriter.cpp). Feed with the
+    same add_images/add_imu_measurement callbacks as SlamSystem."""
+
+    def __init__(self, path: str, num_cameras: int = 2):
+        import cv2  # noqa: F401  (fail early if unavailable)
+
+        self.path = path
+        self.num_cameras = num_cameras
+        for c in range(num_cameras):
+            os.makedirs(
+                os.path.join(path, "mav0", f"cam{c}", "data"), exist_ok=True
+            )
+        os.makedirs(os.path.join(path, "mav0", "imu0"), exist_ok=True)
+        self._imu_f = open(
+            os.path.join(path, "mav0", "imu0", "data.csv"), "w"
+        )
+        self._imu_f.write("#timestamp,w_x,w_y,w_z,a_x,a_y,a_z\n")
+        self._cam_f = []
+        for c in range(num_cameras):
+            f = open(os.path.join(path, "mav0", f"cam{c}", "data.csv"), "w")
+            f.write("#timestamp [ns],filename\n")
+            self._cam_f.append(f)
+
+    def add_imu_measurement(self, t: float, accel, gyro) -> bool:
+        g = np.asarray(gyro)
+        a = np.asarray(accel)
+        self._imu_f.write(
+            f"{int(round(t*1e9))},{g[0]:.9f},{g[1]:.9f},{g[2]:.9f},"
+            f"{a[0]:.9f},{a[1]:.9f},{a[2]:.9f}\n"
+        )
+        return True
+
+    def add_images(self, t: float, images) -> bool:
+        import cv2
+
+        ts = int(round(t * 1e9))
+        for c, img in enumerate(images):
+            if img.dtype != np.uint8:
+                img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            name = f"{ts}.png"
+            cv2.imwrite(
+                os.path.join(self.path, "mav0", f"cam{c}", "data", name), img
+            )
+            self._cam_f[c].write(f"{ts},{name}\n")
+        return True
+
+    def close(self):
+        self._imu_f.close()
+        for f in self._cam_f:
+            f.close()
+
+
 class SyntheticDataset:
     """Deterministic textured-world renderer along an analytic trajectory.
 

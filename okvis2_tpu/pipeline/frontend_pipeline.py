@@ -292,6 +292,113 @@ class Frontend:
         return n_new
 
     # ------------------------------------------------------------------
+    def match_motion_stereo(self, estimator: Estimator, frames, sid: int):
+        """Temporal landmark initialisation against the last keyframe
+        (matchMotionStereo, Frontend.cpp:1733-1978): match this frame's
+        still-unmatched keypoints to the last keyframe's stored frame
+        data per camera, epipolar-gate with the current pose estimates,
+        and triangulate over the temporal baseline."""
+        cfg = self.cfg
+        kf_id = self.last_keyframe_id
+        if kf_id is None or kf_id == sid:
+            return 0
+        kf_frames = getattr(self, "_kf_frames", None)
+        if kf_frames is None or self._kf_frames_id != kf_id:
+            return 0
+        rec_new = estimator.states[sid]
+        rec_kf = estimator.states[kf_id]
+        T_WS_new = Transformation(
+            r=jnp.asarray(rec_new.pose[:3]), q=jnp.asarray(rec_new.pose[3:7])
+        )
+        T_WS_kf = Transformation(
+            r=jnp.asarray(rec_kf.pose[:3]), q=jnp.asarray(rec_kf.pose[3:7])
+        )
+        used_new = {
+            (c, kp)
+            for lm in estimator.landmarks.values()
+            for (s, c, kp) in lm.obs
+            if s == sid
+        }
+        used_kf = {
+            (c, kp)
+            for lm in estimator.landmarks.values()
+            for (s, c, kp) in lm.obs
+            if s == kf_id
+        }
+        n_new = 0
+        for ci, cam in enumerate(self.cameras):
+            fa = kf_frames[ci]
+            fb = frames[ci]
+            T_WA = T_WS_kf @ self.extrinsics[ci]
+            T_WB = T_WS_new @ self.extrinsics[ci]
+            T_AB = T_WA.inverse() @ T_WB
+            baseline = float(jnp.linalg.norm(T_AB.r))
+            if baseline < 0.02:  # no parallax yet
+                continue
+            rays_a = cam.back_project(jnp.asarray(fa["xy"]))
+            rays_b = cam.back_project(jnp.asarray(fb["xy"]))
+            rays_b_in_a = (T_AB.C @ rays_b.T).T
+            n_plane = jnp.cross(
+                jnp.broadcast_to(T_AB.r, rays_a.shape), rays_a
+            )
+            n_plane = n_plane / (
+                jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
+            )
+            epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
+            gate = epi < (cfg.stereo_epipolar_gate / 460.0)
+            free_a = np.asarray(fa["mask"]).copy()
+            for (c, kp) in used_kf:
+                if c == ci and kp < len(free_a):
+                    free_a[kp] = False
+            free_b = np.asarray(fb["mask"]).copy()
+            for (c, kp) in used_new:
+                if c == ci and kp < len(free_b):
+                    free_b[kp] = False
+            m = match_descriptors(
+                fa["signs"], jnp.asarray(free_a),
+                fb["signs"], jnp.asarray(free_b),
+                max_distance=cfg.matching_threshold,
+                gate=gate,
+            )
+            ok = np.asarray(m["valid"])
+            idx_b = np.asarray(m["idx_b"])
+            if not ok.any():
+                continue
+            ai = np.nonzero(ok)[0]
+            bi = idx_b[ai]
+            hp_W, valid, parallel = triangulate_in_frames(
+                T_WA, T_WB, rays_a[ai], rays_b[jnp.asarray(bi)]
+            )
+            hp_W = np.asarray(hp_W)
+            valid = np.asarray(valid)
+            parallel = np.asarray(parallel)
+            T_AW = T_WA.inverse()
+            p_A = np.asarray(
+                jax.vmap(T_AW.apply_homogeneous)(jnp.asarray(hp_W))
+            )
+            depth = p_A[:, 2] / np.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
+            good = valid & ~parallel & (depth > cfg.min_depth) & (
+                depth < cfg.max_depth
+            )
+            for k in np.nonzero(good)[0]:
+                a, b = int(ai[k]), int(bi[k])
+                lid = estimator.add_landmark(hp_W[k], initialised=True)
+                estimator.add_observation(
+                    lid, kf_id, ci, a, fa["xy"][a], fa["size"][a]
+                )
+                estimator.add_observation(
+                    lid, sid, ci, b, fb["xy"][b], fb["size"][b]
+                )
+                self.lm_descriptors[lid] = np.asarray(fb["signs"][b])
+                n_new += 1
+        return n_new
+
+    def remember_keyframe_frames(self, sid: int, frames):
+        """Store a keyframe's detection output for motion-stereo matching."""
+        self._kf_frames = frames
+        self._kf_frames_id = sid
+
+    # ------------------------------------------------------------------
     def need_new_keyframe(self, estimator: Estimator, frames, sid: int) -> bool:
         """Grid-coverage keyframe heuristic (doWeNeedANewKeyframe,
         Frontend.cpp:1057-1167: matched-area / detected-area overlap)."""

@@ -147,6 +147,10 @@ class SlamSystem:
             with SwitchableTimer("2.02 ransac 3d2d"):
                 self.frontend.ransac_3d2d(est, sid, frames, T_WS_pred)
 
+        # 2b. motion-stereo landmark initialisation vs last keyframe
+        with SwitchableTimer("2.03 motion stereo"):
+            self.frontend.match_motion_stereo(est, frames, sid)
+
         # 3. keyframe decision (before stereo init, like the reference)
         is_kf = self.frontend.need_new_keyframe(est, frames, sid)
         est.set_keyframe(sid, is_kf)
@@ -154,7 +158,9 @@ class SlamSystem:
         if is_kf:
             self.frontend.last_keyframe_id = sid
             # 4. static-stereo initialisation of new landmarks
-            self.frontend.match_stereo(est, frames, sid)
+            with SwitchableTimer("2.04 stereo init"):
+                self.frontend.match_stereo(est, frames, sid)
+            self.frontend.remember_keyframe_frames(sid, frames)
             # 4b. place recognition / loop closure (Frontend.cpp:674-899)
             if self.loop_backend is not None:
                 loop_old_id = self.loop_backend.detect_loop(est, sid, frames)
