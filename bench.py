@@ -38,14 +38,20 @@ def main():
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.random((2, H, W)), dtype)
 
-    detect2 = jax.jit(
-        jax.vmap(lambda im: detect_keypoints(im, det_cfg))
-    )
-    def describe2(ims, det):
-        return jax.vmap(describe_keypoints)(
+    # fused per-frame frontend: detect + describe + stereo match in ONE
+    # XLA program (single dispatch; XLA fuses the whole chain)
+    def frontend_step(ims):
+        det = jax.vmap(lambda im: detect_keypoints(im, det_cfg))(ims)
+        desc = jax.vmap(describe_keypoints)(
             ims, det["xy"], det["size"], det["mask"]
         )
-    describe2 = jax.jit(describe2)
+        m = match_descriptors(
+            desc["signs"][0], det["mask"][0],
+            desc["signs"][1], det["mask"][1],
+        )
+        return det["xy"], desc["signs"], m["idx_b"]
+
+    frontend_step = jax.jit(frontend_step)
 
     # window solve problem at realtime scale
     problem, cams, imu_params, _ = synthetic.build_problem(
@@ -67,25 +73,17 @@ def main():
     solver_cfg = SolverConfig(max_iterations=3)
 
     # --- warmup (compile) ---
-    det = detect2(imgs)
-    desc = describe2(imgs, det)
-    m = match_descriptors(
-        desc["signs"][0], det["mask"][0], desc["signs"][1], det["mask"][1]
-    )
+    xy, signs, idx = frontend_step(imgs)
     solved, stats = solve_window(problem, cams, imu_params, solver_cfg)
-    jax.block_until_ready((det["xy"], desc["signs"], m["idx_b"], solved.pose))
+    jax.block_until_ready((xy, signs, idx, solved.pose))
 
     # --- timed steady state ---
-    n_frames = 30
+    n_frames = 50
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        det = detect2(imgs)
-        desc = describe2(imgs, det)
-        m = match_descriptors(
-            desc["signs"][0], det["mask"][0], desc["signs"][1], det["mask"][1]
-        )
+        xy, signs, idx = frontend_step(imgs)
         solved, stats = solve_window(problem, cams, imu_params, solver_cfg)
-    jax.block_until_ready((det["xy"], desc["signs"], m["idx_b"], solved.pose))
+    jax.block_until_ready((xy, signs, idx, solved.pose))
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

@@ -71,6 +71,12 @@ def _build_pattern():
 
 _PATTERN, _RING_ID, _PAIRS, _LONG_PAIRS = _build_pattern()
 _NUM_RINGS = int(_RING_ID.max()) + 1
+# static per-ring point index lists (grouped sampling: each point is
+# sampled ONLY from its own ring's blurred image — 5x fewer gathers than
+# sample-all-rings-and-select)
+_RING_MEMBERS = [
+    np.nonzero(_RING_ID == r)[0] for r in range(_NUM_RINGS)
+]
 
 
 def _box_blur(img: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -85,6 +91,20 @@ def _box_blur(img: jnp.ndarray, k: int) -> jnp.ndarray:
         img[None, None], ker[None, None, None, :], (1, 1), "SAME"
     )[0, 0]
     return img
+
+
+def nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour sample of [H,W] at xy [...,2] (clamped).
+
+    Used for the outer (box-blurred) descriptor rings: the smoothing
+    radius exceeds half a pixel, so nearest sampling loses almost no
+    signal but costs 1 gather instead of 4 — the descriptor's dominant
+    cost on TPU is gather count.
+    """
+    H, W = img.shape
+    x = jnp.clip(jnp.round(xy[..., 0]), 0.0, W - 1.0).astype(jnp.int32)
+    y = jnp.clip(jnp.round(xy[..., 1]), 0.0, H - 1.0).astype(jnp.int32)
+    return img[y, x]
 
 
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -132,9 +152,7 @@ def describe_keypoints(
     long_pairs = jnp.asarray(_LONG_PAIRS)
 
     # ring-dependent smoothing stack
-    blurred = jnp.stack(
-        [_box_blur(image, 2 * r + 1) for r in range(_NUM_RINGS)]
-    )  # [R,H,W]
+    blurred = [_box_blur(image, 2 * r + 1) for r in range(_NUM_RINGS)]
 
     scale = (size / 9.0)[:, None, None]  # pattern defined for size 9
 
@@ -144,22 +162,24 @@ def describe_keypoints(
             [jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], -2
         )  # [N,2,2]
         pts = jnp.einsum("nij,pj->npi", rot, pattern) * scale + xy[:, None, :]
-        # gather per ring (R small static loop), select by ring id
+        # grouped sampling: each ring's member points from its own blur;
+        # bilinear only for the sharp centre ring, nearest elsewhere
         vals = jnp.zeros(pts.shape[:2], dtype)
-        for r in range(_NUM_RINGS):
-            v = bilinear_sample(blurred[r], pts)
-            vals = jnp.where(ring_id[None, :] == r, v, vals)
+        for r, members in enumerate(_RING_MEMBERS):
+            sampler = bilinear_sample if r == 0 else nearest_sample
+            v = sampler(blurred[r], pts[:, members, :])
+            vals = vals.at[:, members].set(v)
         return vals  # [N,P]
 
     if use_orientation and extraction_direction is None:
-        v0 = sample_at(jnp.zeros((N,), dtype))
-        # orientation from long-pair intensity gradients (BRISK-style)
-        pi_, pj_ = long_pairs[:, 0], long_pairs[:, 1]
-        dvec = pattern[pj_] - pattern[pi_]  # [Lp,2]
-        dist2 = jnp.sum(dvec * dvec, axis=-1)
-        grads = (v0[:, pj_] - v0[:, pi_]) / dist2[None, :]  # [N,Lp]
-        gx = jnp.sum(grads * dvec[None, :, 0], axis=-1)
-        gy = jnp.sum(grads * dvec[None, :, 1], axis=-1)
+        # orientation from the smoothed image gradient at the keypoint
+        # (one N-point gather instead of a full N x P sampling pass; the
+        # reference's long-pair gradient estimate needs the latter)
+        g_img = blurred[2]
+        gx_map = 0.5 * (jnp.roll(g_img, -1, 1) - jnp.roll(g_img, 1, 1))
+        gy_map = 0.5 * (jnp.roll(g_img, -1, 0) - jnp.roll(g_img, 1, 0))
+        gx = bilinear_sample(gx_map, xy)
+        gy = bilinear_sample(gy_map, xy)
         angle = jnp.arctan2(gy, gx)
     elif extraction_direction is not None:
         angle = extraction_direction.astype(dtype)

