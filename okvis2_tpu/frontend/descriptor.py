@@ -80,17 +80,20 @@ _RING_MEMBERS = [
 
 
 def _box_blur(img: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Separable box blur of odd width k over [H,W]."""
+    """Separable box blur of odd width k over [H,W] as shift-adds
+    (single-channel convs can't use the MXU; rolls compile to cheap VPU
+    ops — the wrap artefact stays inside the detector border margin)."""
     if k <= 1:
         return img
-    ker = jnp.ones((k,), img.dtype) / k
-    img = jax.lax.conv_general_dilated(
-        img[None, None], ker[None, None, :, None], (1, 1), "SAME"
-    )[0, 0]
-    img = jax.lax.conv_general_dilated(
-        img[None, None], ker[None, None, None, :], (1, 1), "SAME"
-    )[0, 0]
-    return img
+    r = k // 2
+    acc = img
+    for d in range(1, r + 1):
+        acc = acc + jnp.roll(img, d, 0) + jnp.roll(img, -d, 0)
+    acc = acc / k
+    out = acc
+    for d in range(1, r + 1):
+        out = out + jnp.roll(acc, d, 1) + jnp.roll(acc, -d, 1)
+    return out / k
 
 
 def nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

@@ -44,29 +44,30 @@ class DetectionConfig:
     border: int = 16  # reject keypoints near the border (descriptor support)
 
 
-def _conv2(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """2D 'same' convolution of [H,W] with [kh,kw]."""
-    return jax.lax.conv_general_dilated(
-        img[None, None],
-        kernel[None, None].astype(img.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-    )[0, 0]
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Cyclic shift — single-channel 3x3 stencils compile to cheap VPU
+    shift-adds this way, several times faster on TPU than the general
+    conv lowering (1-channel convs can't use the MXU). The 1-px wrap
+    artefact at the border is inside the detector's `border` margin."""
+    return jnp.roll(img, (dy, dx), axis=(0, 1))
 
 
 def _box3(img: jnp.ndarray) -> jnp.ndarray:
-    k = jnp.ones((3, 3), img.dtype) / 9.0
-    return _conv2(img, k)
-
-
-_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
-_SOBEL_Y = _SOBEL_X.T
+    """3x3 box filter as separable shift-adds."""
+    row = _shift(img, 0, -1) + img + _shift(img, 0, 1)
+    return (_shift(row, -1, 0) + row + _shift(row, 1, 0)) * (1.0 / 9.0)
 
 
 def harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
-    """Harris corner response map for [H,W] image in [0,1]."""
-    ix = _conv2(img, _SOBEL_X.astype(img.dtype))
-    iy = _conv2(img, _SOBEL_Y.astype(img.dtype))
+    """Harris corner response map for [H,W] image in [0,1].
+
+    Sobel gradients + box-filtered structure tensor, all as shift-adds.
+    """
+    # Sobel x: smooth vertically [1,2,1], diff horizontally [-1,0,1] (/8)
+    sm_v = _shift(img, -1, 0) + 2.0 * img + _shift(img, 1, 0)
+    ix = (_shift(sm_v, 0, -1) - _shift(sm_v, 0, 1)) * (1.0 / 8.0)
+    sm_h = _shift(img, 0, -1) + 2.0 * img + _shift(img, 0, 1)
+    iy = (_shift(sm_h, -1, 0) - _shift(sm_h, 1, 0)) * (1.0 / 8.0)
     ixx = _box3(ix * ix)
     iyy = _box3(iy * iy)
     ixy = _box3(ix * iy)
@@ -76,15 +77,13 @@ def harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
 
 
 def _nms3(score: jnp.ndarray) -> jnp.ndarray:
-    """3x3 non-max suppression: keep strict local maxima."""
-    m = jax.lax.reduce_window(
-        score,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(3, 3),
-        window_strides=(1, 1),
-        padding="SAME",
-    )
+    """3x3 non-max suppression as 8 shifted maxima."""
+    m = score
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = jnp.maximum(m, _shift(score, dy, dx))
     return jnp.where(score >= m, score, -jnp.inf)
 
 
