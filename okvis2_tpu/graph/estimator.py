@@ -63,8 +63,19 @@ class EstimatorConfig:
     rel_slots: int = 32
     two_pose_obs_capacity: int = 256
     two_pose_lm_capacity: int = 96
-    # solver
+    # solver: iteration budget (the jitted-solver analogue of the
+    # reference's CeresIterationCallback wall-clock budget,
+    # okvis_ceres/src/CeresIterationCallback.cpp:73 — with a compiled
+    # fixed-shape solver the budget is enforced by switching between a
+    # min- and max-iteration program based on the last solve's wall time)
     realtime_iterations: int = 10
+    realtime_min_iterations: int = 3
+    enforce_realtime: bool = False
+    realtime_time_limit: float = 0.035
+    # vision-only mode: no IMU links; consecutive states get weak
+    # relative-pose regularisers instead (PseudoImuError role,
+    # okvis_ceres/src/ImuError.cpp:1156-1325)
+    use_imu: bool = True
     # landmark management (ViGraph::updateLandmarks, ViGraph.cpp:775-855)
     min_parallax_quality: float = 1e-3
     # bias deviation triggering IMU re-preintegration (ImuError.cpp:~865)
@@ -236,18 +247,21 @@ class Estimator:
     def clean_unobserved_landmarks(self, min_obs: int = 2):
         """ViGraph::cleanUnobservedLandmarks (ViGraph.cpp:908+)."""
         window = set(self.window)
+        # landmarks referenced by stored (marginalised) observations must
+        # survive for reversibility — collect once
+        protected = set()
+        for e in self.pose_graph_edges:
+            for o in e.stored_obs:
+                protected.add(o[0])
         dead = []
         for lid, lm in self.landmarks.items():
+            if lid in protected:
+                continue
             n_win = sum(1 for (s, _, _) in lm.obs if s in window)
             if n_win == 0 or (len(lm.obs) < min_obs and not lm.initialised):
                 dead.append(lid)
         for lid in dead:
-            # only drop landmarks with no stored pose-graph observations
-            if not any(
-                any(o[0] == lid for o in e.stored_obs)
-                for e in self.pose_graph_edges
-            ):
-                del self.landmarks[lid]
+            del self.landmarks[lid]
 
     # ------------------------------------------------------------------
     # covisibility (ViGraph::covisibilities, ViGraph.cpp:505-563)
@@ -359,7 +373,7 @@ class Estimator:
             sb[i] = rec.speed_bias
             smask[i] = True
             pfroz[i] = rec.frozen
-            sbfroz[i] = rec.frozen
+            sbfroz[i] = rec.frozen or not cfg.use_imu
 
         # landmarks
         lm_ids = self._window_landmarks()
@@ -392,11 +406,12 @@ class Estimator:
         # IMU links between consecutive window slots
         pres = []
         imu_mask = np.zeros(S - 1, bool)
-        for i in range(n_win - 1):
-            nxt = self.states[win[i + 1]]
-            if len(nxt.imu_dt):
-                pres.append((i, self._get_preintegrated(win[i + 1])))
-                imu_mask[i] = True
+        if cfg.use_imu:
+            for i in range(n_win - 1):
+                nxt = self.states[win[i + 1]]
+                if len(nxt.imu_dt):
+                    pres.append((i, self._get_preintegrated(win[i + 1])))
+                    imu_mask[i] = True
         imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)
         for i, pre in pres:
             imu_pre = jax.tree_util.tree_map(
@@ -435,6 +450,27 @@ class Estimator:
         r_sq = np.zeros((R, 6, 6))
         r_m = np.zeros(R, bool)
         k = 0
+        if not cfg.use_imu:
+            # PseudoImuError-style weak chaining of consecutive states so
+            # the vision-only problem stays connected and damped
+            from okvis2_tpu.core import so3 as _so3
+
+            for i in range(n_win - 1):
+                if k >= R:
+                    break
+                pa = self.states[win[i]].pose
+                pb = self.states[win[i + 1]].pose
+                qa = jnp.asarray(pa[3:7])
+                dq = _so3.quat_multiply(_so3.quat_conjugate(qa),
+                                        jnp.asarray(pb[3:7]))
+                Ca = np.asarray(_so3.quat_to_matrix(qa))
+                dr = Ca.T @ (pb[:3] - pa[:3])
+                r_i[k] = i
+                r_j[k] = i + 1
+                r_T[k] = np.concatenate([dr, np.asarray(dq)])
+                r_sq[k] = np.diag([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
+                r_m[k] = True
+                k += 1
         for e in self.pose_graph_edges:
             if e.id_i in slot_of and e.id_j in slot_of and k < R:
                 r_i[k] = slot_of[e.id_i]
@@ -493,11 +529,23 @@ class Estimator:
     # ------------------------------------------------------------------
     def optimise(self, iterations: Optional[int] = None) -> dict:
         """optimiseRealtimeGraph (ViSlamBackend.cpp:712-886)."""
+        import time as _time
+
         prob = self.pack()
         cfg = self._solver_cfg
+        if iterations is None and self.cfg.enforce_realtime:
+            # realtime budget: drop to the min-iteration program when the
+            # previous solve overran the limit (CeresIterationCallback role)
+            if getattr(self, "_last_solve_wall", 0.0) > self.cfg.realtime_time_limit:
+                iterations = self.cfg.realtime_min_iterations
         if iterations is not None and iterations != cfg.max_iterations:
             cfg = dataclasses.replace(cfg, max_iterations=iterations)
+        t0 = _time.perf_counter()
         solved, stats = solve_window(prob, self.cameras, self.imu_params, cfg)
+        import jax as _jax
+
+        _jax.block_until_ready(solved.pose)
+        self._last_solve_wall = _time.perf_counter() - t0
         self.unpack(solved)
         self.update_landmark_quality()
         return {k: np.asarray(v) for k, v in stats.items()}
@@ -567,13 +615,24 @@ class Estimator:
         """Turn the least-covisible excess keyframes into pose-graph frames
         (convertToPoseGraphMst, ViGraphEstimator.cpp:319-574)."""
         cfg = self.cfg
-        kf_in_window = [s for s in self.window if self.states[s].is_keyframe]
+        kf_in_window = [
+            s for s in self.window
+            if self.states[s].is_keyframe
+            and not self.states[s].is_pose_graph_frame
+        ]
         n_excess = len(kf_in_window) - cfg.num_keyframes
         if n_excess <= 0:
             return
         newest_kf = kf_in_window[-1]
-        # covisibility against the newest keyframe decides who leaves
-        cov_new = {s: self.covisibility(s, newest_kf) for s in kf_in_window[:-1]}
+        # one pass over landmarks: covisibility of every frame with the
+        # newest keyframe (instead of per-pair landmark scans)
+        cov_new = {s: 0 for s in kf_in_window[:-1]}
+        for lm in self.landmarks.values():
+            sids = {k[0] for k in lm.obs}
+            if newest_kf in sids:
+                for s in sids:
+                    if s in cov_new:
+                        cov_new[s] += 1
         to_convert = sorted(cov_new, key=cov_new.get)[: min(n_excess, max_convert)]
         for sid in to_convert:
             self._convert_one_keyframe(sid)
@@ -582,18 +641,22 @@ class Estimator:
         cfg = self.cfg
         rec = self.states[sid]
         # strongest covisible keyframe still in window = reference frame
-        partners = [
-            s for s in self.window
+        partners = {
+            s: 0 for s in self.window
             if s != sid and self.states[s].is_keyframe
-        ]
+        }
         if not partners:
             # nothing to anchor against: just drop observations
             self._strip_observations(sid)
             rec.is_pose_graph_frame = True
             return
-        cov = [(self.covisibility(sid, p), p) for p in partners]
-        cov.sort(reverse=True)
-        ref = cov[0][1]
+        for lm in self.landmarks.values():
+            sids = {k[0] for k in lm.obs}
+            if sid in sids:
+                for s in sids:
+                    if s in partners:
+                        partners[s] += 1
+        ref = max(partners, key=partners.get)
 
         # gather shared observations (both frames' obs of common landmarks)
         shared = []

@@ -262,10 +262,13 @@ class SyntheticDataset:
         imu_rate: float = 200.0,
         seed: int = 0,
         imu_noise: float = 0.0,
+        trajectory: str = "default",  # "default" | "circle"
     ):
         from okvis2_tpu.utils import synthetic
 
         self.syn = synthetic
+        if trajectory == "circle":
+            self.syn = synthetic.CircleTrajectory(duration)
         self.cameras = cameras
         self.extrinsics = extrinsics
         self.imu_params = imu_params
@@ -284,7 +287,11 @@ class SyntheticDataset:
             axis=-1,
         )
         self.star_intensity = rng.uniform(0.25, 1.0, n_stars)
-        self.star_size = rng.integers(2, 5, n_stars)
+        self.star_size = rng.integers(3, 6, n_stars)
+        # per-star random texture patch (max size), so each star is
+        # visually unique — keeps binary descriptors discriminative for
+        # place-recognition tests (constant squares alias heavily)
+        self.star_pattern = rng.uniform(0.3, 1.0, (n_stars, 6, 6))
 
     def render(self, T_WS) -> List[np.ndarray]:
         """Render all cameras at body pose T_WS (numpy [7])."""
@@ -309,8 +316,12 @@ class SyntheticDataset:
                 x0c, y0c = max(x0, 0), max(y0, 0)
                 x1c, y1c = min(x1, cam.width), min(y1, cam.height)
                 if x1c > x0c and y1c > y0c:
+                    patch = (
+                        self.star_intensity[k]
+                        * self.star_pattern[k][: y1c - y0c, : x1c - x0c]
+                    )
                     img[y0c:y1c, x0c:x1c] = np.maximum(
-                        img[y0c:y1c, x0c:x1c], self.star_intensity[k]
+                        img[y0c:y1c, x0c:x1c], patch.astype(np.float32)
                     )
             out.append(img)
         return out

@@ -20,6 +20,7 @@ Keyframe selection uses the matched-vs-detected spatial coverage heuristic
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -41,6 +42,7 @@ class FrontendConfig:
     detection: DetectionConfig = DetectionConfig()
     matching_threshold: int = 60  # Hamming (config/euroc.yaml:65)
     map_match_radius: float = 40.0  # px gate around predicted projection
+    map_match_capacity: int = 1024  # fixed landmark-slot count per match call
     stereo_epipolar_gate: float = 3.0  # px distance to epipolar line
     keyframe_overlap_threshold: float = 0.6  # euroc.yaml:68
     keyframe_grid: int = 8  # coverage grid (grid cells per axis)
@@ -48,6 +50,36 @@ class FrontendConfig:
     use_ransac: bool = True
     min_depth: float = 0.1
     max_depth: float = 60.0
+
+
+@functools.partial(jax.jit, static_argnames=("max_distance",))
+def _match_map_device(
+    cam,
+    T_WC7: jnp.ndarray,  # [7] camera pose in world
+    hp: jnp.ndarray,  # [Lc,4] landmark homogeneous points
+    lm_mask: jnp.ndarray,  # [Lc]
+    lm_signs: jnp.ndarray,  # [Lc,B]
+    kp_xy: jnp.ndarray,  # [N,2]
+    kp_mask: jnp.ndarray,  # [N]
+    kp_signs: jnp.ndarray,  # [N,B]
+    radius: jnp.ndarray,
+    max_distance: int,
+):
+    """One-dispatch map matching for one camera: project landmarks,
+    gate by image radius, Hamming-match (matchToMap device part)."""
+    T_CW = Transformation(r=T_WC7[:3], q=T_WC7[3:7]).inverse()
+    hp_C = jax.vmap(T_CW.apply_homogeneous)(hp)
+    uv_pred, valid = cam.project_homogeneous(hp_C)
+    valid = valid & lm_mask
+    d2 = jnp.sum(
+        (uv_pred[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1
+    )
+    gate = (d2 < radius * radius) & valid[:, None] & kp_mask[None, :]
+    m = match_descriptors(
+        lm_signs, valid, kp_signs, kp_mask,
+        max_distance=max_distance, gate=gate,
+    )
+    return m["idx_b"], m["valid"]
 
 
 class Frontend:
@@ -104,51 +136,48 @@ class Frontend:
         Reference: matchToMap (Frontend.cpp:1171-1719).
         """
         cfg = self.cfg
-        window = set(estimator.window)
-        # collect landmarks with descriptors observed in the window
+        # collect landmarks with descriptors, newest-observed first, up to
+        # the fixed matching capacity
         lm_ids = [
             lid
             for lid, lm in estimator.landmarks.items()
             if lid in self.lm_descriptors
             and (lm.initialised or len(lm.obs) >= 1)
-        ]
+        ][-cfg.map_match_capacity:]
         n_matched_total = 0
         matched_kp: Dict[int, np.ndarray] = {}
         if lm_ids:
-            hp = np.stack([estimator.landmarks[l].hp_W for l in lm_ids])
-            lm_signs = jnp.asarray(
-                np.stack([self.lm_descriptors[l] for l in lm_ids])
+            Lc = cfg.map_match_capacity
+            hp = np.zeros((Lc, 4))
+            hp[:, 3] = 1.0
+            hp[: len(lm_ids)] = np.stack(
+                [estimator.landmarks[l].hp_W for l in lm_ids]
+            )
+            lm_mask = np.zeros(Lc, bool)
+            lm_mask[: len(lm_ids)] = True
+            sg = np.zeros(
+                (Lc,) + self.lm_descriptors[lm_ids[0]].shape, np.float32
+            )
+            sg[: len(lm_ids)] = np.stack(
+                [self.lm_descriptors[l] for l in lm_ids]
             )
             hp_j = jnp.asarray(hp)
+            lm_signs = jnp.asarray(sg)
+            lm_mask_j = jnp.asarray(lm_mask)
             for ci, cam in enumerate(self.cameras):
                 T_WC = T_WS_pred @ self.extrinsics[ci]
-                T_CW = T_WC.inverse()
-                hp_C = jax.vmap(T_CW.apply_homogeneous)(hp_j)
-                uv_pred, valid = cam.project_homogeneous(hp_C)
-                uv_pred = np.asarray(uv_pred)
-                valid = np.asarray(valid)
-
+                T_WC7 = jnp.concatenate([T_WC.r, T_WC.q])
                 fr = frames[ci]
-                # gate: keypoint within radius of predicted projection
-                d2 = (
-                    (uv_pred[:, None, 0] - fr["xy"][None, :, 0]) ** 2
-                    + (uv_pred[:, None, 1] - fr["xy"][None, :, 1]) ** 2
-                )
-                gate = jnp.asarray(
-                    (d2 < cfg.map_match_radius**2)
-                    & valid[:, None]
-                    & fr["mask"][None, :]
-                )
-                m = match_descriptors(
-                    lm_signs,
-                    jnp.asarray(valid),
+                idx_b, ok = _match_map_device(
+                    cam, T_WC7, hp_j, lm_mask_j,
+                    lm_signs.astype(fr["signs"].dtype),
+                    jnp.asarray(fr["xy"]), jnp.asarray(fr["mask"]),
                     fr["signs"],
-                    jnp.asarray(fr["mask"]),
-                    max_distance=cfg.matching_threshold,
-                    gate=gate,
+                    jnp.asarray(cfg.map_match_radius, fr["signs"].dtype),
+                    cfg.matching_threshold,
                 )
-                idx_b = np.asarray(m["idx_b"])
-                ok = np.asarray(m["valid"])
+                idx_b = np.asarray(idx_b)
+                ok = np.asarray(ok)
                 for li in np.nonzero(ok)[0]:
                     kp = int(idx_b[li])
                     lid = lm_ids[li]

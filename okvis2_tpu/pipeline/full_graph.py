@@ -43,7 +43,11 @@ from okvis2_tpu.solver.window_problem import SolverConfig, WindowProblem
 class LoopClosureConfig:
     min_score: float = 0.4  # DBoW acceptance (Frontend.cpp:802)
     min_inliers: int = 10  # verifyRecognisedPlace (Frontend.cpp:359-389)
-    min_inlier_ratio: float = 0.7
+    # the reference uses 0.7 with <=3 descriptors per landmark
+    # (Frontend.cpp:1224-1359); with a single stored descriptor the match
+    # set is noisier, so accept a lower inlier share
+    min_inlier_ratio: float = 0.55
+    verify_match_threshold: int = 80  # Hamming, wider than tracking
     exclude_recent: int = 10  # don't match against the last N keyframes
     full_graph_slots: int = 128
     full_graph_rel_slots: int = 256
@@ -66,6 +70,9 @@ class LoopClosureBackend:
         self._kf_data: dict = {}
         self._key = jax.random.PRNGKey(7)
         self.num_loop_closures = 0
+        # debug/introspection: last query results + last verify diagnosis
+        self.last_query_results = []
+        self.last_verify_info = ""
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -112,6 +119,7 @@ class LoopClosureBackend:
             exclude_recent=self.cfg.exclude_recent,
             min_score=self.cfg.min_score,
         )
+        self.last_query_results = results[:5]
         for old_id, score in results[:3]:
             T = self._verify(estimator, old_id, sid, frames)
             if T is not None:
@@ -139,12 +147,14 @@ class LoopClosureBackend:
                 if s == old_id and ci == 0 and lid in estimator.landmarks:
                     lm_entries.append((lid, kp))
         if len(lm_entries) < cfg.min_inliers:
+            self.last_verify_info = f"few lm_entries {len(lm_entries)}"
             return None
         # descriptor of each landmark = old keyframe's keypoint descriptor
         sel = [
             (lid, kp) for lid, kp in lm_entries if kp < len(old["signs"])
         ]
         if len(sel) < cfg.min_inliers:
+            self.last_verify_info = f"few sel {len(sel)}"
             return None
         lm_signs = jnp.asarray(np.stack([old["signs"][kp] for _, kp in sel]))
         pts_W = np.stack([
@@ -158,11 +168,12 @@ class LoopClosureBackend:
             jnp.ones(len(sel), bool),
             f0["signs"],
             jnp.asarray(f0["mask"]),
-            max_distance=60,
+            max_distance=cfg.verify_match_threshold,
         )
         ok = np.asarray(m["valid"])
         idx = np.asarray(m["idx_b"])
         if ok.sum() < cfg.min_inliers:
+            self.last_verify_info = f"few desc matches {int(ok.sum())}/{len(sel)}"
             return None
         cam0 = self.cameras[0]
         uv = np.asarray(f0["xy"])[idx[ok]]
@@ -175,6 +186,7 @@ class LoopClosureBackend:
         )
         n_in = int(res["num_inliers"])
         if n_in < cfg.min_inliers or n_in < cfg.min_inlier_ratio * int(ok.sum()):
+            self.last_verify_info = f"ransac inliers {n_in}/{int(ok.sum())}"
             return None
         return res["T_CW"]
 

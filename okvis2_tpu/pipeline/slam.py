@@ -180,14 +180,21 @@ class SlamSystem:
             est.apply_marginalisation_strategy()
             est.clean_unobserved_landmarks()
 
-        # 7. tracking state + callbacks
+        # 7. tracking state + callbacks; lost-tracking recovery
+        # (thresholds as ThreadedSlam.cpp:628-634; restart path as
+        # Frontend.cpp:1048-1055 / ViSlamBackend clear+reinit)
         q = self.frontend.tracking_quality(est, frames, sid)
+        quality = "Good" if q > 0.05 else ("Marginal" if q > 0.01 else "Lost")
+        if quality == "Lost" and self.frames_processed > 5:
+            self._lost_count = getattr(self, "_lost_count", 0) + 1
+            if self._lost_count >= 5:
+                self._reinitialise()
+        else:
+            self._lost_count = 0
         self.tracking = TrackingState(
             id=sid,
             is_keyframe=is_kf,
-            tracking_quality=(
-                "Good" if q > 0.05 else ("Marginal" if q > 0.01 else "Lost")
-            ),
+            tracking_quality=quality,
             current_keyframe_id=self.frontend.last_keyframe_id or -1,
         )
         for cb in self._callbacks:
@@ -196,5 +203,67 @@ class SlamSystem:
         return True
 
     # ------------------------------------------------------------------
+    def _reinitialise(self):
+        """Tracking lost for several frames: keep trajectory history but
+        restart the landmark map and window from the current state."""
+        est = self.estimator
+        keep = est.window[-1:]
+        for sid in est.window[:-1]:
+            est.states[sid].in_window = False
+        est.window = list(keep)
+        est.landmarks.clear()
+        est.pose_graph_edges.clear()
+        self.frontend.lm_descriptors.clear()
+        self.frontend.last_keyframe_id = None
+        self._lost_count = 0
+
+    # ------------------------------------------------------------------
     def trajectory(self):
         return self.estimator.trajectory()
+
+    # ------------------------------------------------------------------
+    # map save/load (ThreadedSlam::saveMap + Frontend::loadComponent)
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """Serialise the session graph incl. landmark descriptors
+        (Component::save, okvis_ceres/src/Component.cpp:405-526)."""
+        from okvis2_tpu.pipeline.component_io import save_component
+
+        descs = {}
+        for lid, signs in self.frontend.lm_descriptors.items():
+            bits = (np.asarray(signs) > 0).astype(np.uint32).reshape(-1, 32)
+            packed = (bits << np.arange(32, dtype=np.uint32)).sum(
+                axis=-1, dtype=np.uint32
+            )
+            descs[lid] = packed
+        save_component(path, self.estimator, descs)
+
+    def load_map(self, path: str):
+        """Load a previous session as localisation context: landmarks
+        with descriptors become matchable map points and keyframes enter
+        the place-recognition database-eligible store
+        (Frontend::loadComponent, Frontend.cpp:180-218)."""
+        from okvis2_tpu.pipeline.component_io import load_component
+
+        data = load_component(path)
+        id_map = {}
+        for lid, hp in data["landmarks"].items():
+            new_id = self.estimator.add_landmark(hp, initialised=True)
+            id_map[lid] = new_id
+        for obs in data["observations"]:
+            if "descriptor" in obs and obs["lid"] in id_map:
+                packed = obs["descriptor"]
+                bits = (
+                    (packed[:, None] >> np.arange(32, dtype=np.uint32)) & 1
+                ).reshape(-1)
+                self.frontend.lm_descriptors[id_map[obs["lid"]]] = np.where(
+                    bits > 0, 1.0, -1.0
+                ).astype(np.float32)
+        return len(id_map)
+
+    # ------------------------------------------------------------------
+    def do_final_ba(self, iterations: int = 30, mesh=None):
+        """Offline final bundle adjustment (doFinalBa)."""
+        from okvis2_tpu.pipeline.final_ba import do_final_ba
+
+        return do_final_ba(self.estimator, iterations, mesh)

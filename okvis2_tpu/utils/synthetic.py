@@ -90,6 +90,46 @@ def landmark_wall(n_side=8, z=6.0, extent=8.0, seed=0):
     return jnp.asarray(hp)
 
 
+class CircleTrajectory:
+    """Closed-circuit trajectory (returns to the start) for loop-closure
+    tests: the body circles at constant height, yawing to keep the wall
+    of landmarks in view. Exposes the same (true_state, imu_at) API as
+    this module."""
+
+    def __init__(self, period: float = 10.0, radius: float = 1.5):
+        self.w = 2.0 * np.pi / period
+        self.radius = radius
+
+    def _pos(self, t):
+        a = self.w * t
+        return jnp.stack(
+            [self.radius * jnp.sin(a), self.radius * (1.0 - jnp.cos(a)),
+             0.05 * jnp.sin(2.0 * a)]
+        )
+
+    def _theta(self, t):
+        # gentle yaw oscillation (keeps scene visible, adds excitation)
+        return 0.15 * jnp.sin(self.w * t)
+
+    def true_state(self, t):
+        t = jnp.asarray(t, dtype=jnp.float64)
+        u = jnp.asarray([0.0, 1.0, 0.0])
+        q = so3.delta_q(u * self._theta(t))
+        return (
+            Transformation(r=self._pos(t), q=q),
+            jax.jacfwd(self._pos)(t),
+        )
+
+    def imu_at(self, t, params: ImuParameters):
+        t = jnp.asarray(t, dtype=jnp.float64)
+        u = jnp.asarray([0.0, 1.0, 0.0])
+        w_S = u * jax.grad(self._theta)(t)
+        a_W = jax.jacfwd(jax.jacfwd(self._pos))(t)
+        C_WS = so3.quat_to_matrix(so3.delta_q(u * self._theta(t)))
+        a_S = C_WS.T @ (a_W - params.gravity_w)
+        return w_S, a_S
+
+
 def build_problem(
     num_states=5,
     frame_dt=0.3,
