@@ -25,7 +25,10 @@ def main():
 
     dtype = jnp.float32  # TPU-native precision
 
-    from okvis2_tpu.frontend.detection import DetectionConfig, detect_keypoints
+    from okvis2_tpu.frontend.detection import (
+        DetectionConfig,
+        detect_keypoints_batch,
+    )
     from okvis2_tpu.frontend.descriptor import describe_keypoints
     from okvis2_tpu.frontend.matching import match_descriptors
     from okvis2_tpu.solver.gauss_newton import solve_window
@@ -41,7 +44,7 @@ def main():
     # fused per-frame frontend: detect + describe + stereo match in ONE
     # XLA program (single dispatch; XLA fuses the whole chain)
     def frontend_step(ims):
-        det = jax.vmap(lambda im: detect_keypoints(im, det_cfg))(ims)
+        det = detect_keypoints_batch(ims, det_cfg)
         desc = jax.vmap(describe_keypoints)(
             ims, det["xy"], det["size"], det["mask"]
         )

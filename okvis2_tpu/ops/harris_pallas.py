@@ -23,22 +23,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HALO = 3  # sobel(1) + box(1) + nms(1)
+HALO = 8  # compute needs 3 (sobel+box+nms); 8 keeps DMA slices
+# 8-sublane aligned as Mosaic requires
 
 
-def _band_kernel(img_hbm, out_ref, scratch, sem, *, th: int, k: float):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    H = img_hbm.shape[0]
+def _band_kernel(img_hbm, resp_ref, nms_ref, scratch, sem, *, th: int, k: float):
+    c = pl.program_id(0)  # camera / batch index
+    i = pl.program_id(1)  # row band index
+    n = pl.num_programs(1)
+    H = img_hbm.shape[1]
 
     # clamped halo start: duplicate edge rows at the image boundary by
     # shifting the window inward (the detector ignores a 16px border)
     start = i * th - HALO
     start = jnp.clip(start, 0, H - (th + 2 * HALO))
-    off = i * th - start  # where the band's first row sits in scratch
+    # all clamp outcomes are multiples of 8 (th, H, HALO are); Mosaic
+    # needs the proof hint for the dynamic DMA offset
+    start = pl.multiple_of(start, 8)
 
     copy = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(start, th + 2 * HALO), :], scratch, sem
+        img_hbm.at[c, pl.ds(start, th + 2 * HALO), :], scratch, sem
     )
     copy.start()
     copy.wait()
@@ -85,36 +89,43 @@ def _band_kernel(img_hbm, out_ref, scratch, sem, *, th: int, k: float):
     # first band, HALO for interior bands, 2*HALO for the last (clamped)
     # band — write with static slices under predicates (dynamic_slice is
     # not lowerable in Pallas TPU)
-    del off
 
     @pl.when(i == n - 1)
     def _():
-        out_ref[:] = nms[2 * HALO : 2 * HALO + th, :]
+        resp_ref[0] = resp[2 * HALO : 2 * HALO + th, :]
+        nms_ref[0] = nms[2 * HALO : 2 * HALO + th, :]
 
     @pl.when((i > 0) & (i < n - 1))
     def _():
-        out_ref[:] = nms[HALO : HALO + th, :]
+        resp_ref[0] = resp[HALO : HALO + th, :]
+        nms_ref[0] = nms[HALO : HALO + th, :]
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = nms[0:th, :]
+        resp_ref[0] = resp[0:th, :]
+        nms_ref[0] = nms[0:th, :]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "band"))
 def harris_nms_pallas(img: jnp.ndarray, k: float = 0.04, band: int = 120):
-    """[H,W] image -> NMS'd Harris response. W must be a multiple of 128
-    and H a multiple of `band` (the wrapper pads)."""
-    H, W = img.shape
+    """[C,H,W] image stack -> (response, NMS'd response), both [C,H,W].
+    W must be a multiple of 128 and H a multiple of `band` (the wrapper
+    pads). The batch (camera) dimension is part of the kernel grid — no
+    vmap needed (Pallas ANY-space operands don't support vmap batching)."""
+    C, H, W = img.shape
     assert W % 128 == 0 and H % band == 0, (H, W, band)
-    grid = H // band
+    spec = pl.BlockSpec(
+        (1, band, W), lambda c, i: (c, i, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         functools.partial(_band_kernel, th=band, k=k),
-        grid=(grid,),
+        grid=(C, H // band),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (band, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, H, W), img.dtype),
+            jax.ShapeDtypeStruct((C, H, W), img.dtype),
         ),
-        out_shape=jax.ShapeDtypeStruct((H, W), img.dtype),
         scratch_shapes=[
             pltpu.VMEM((band + 2 * HALO, W), img.dtype),
             pltpu.SemaphoreType.DMA,

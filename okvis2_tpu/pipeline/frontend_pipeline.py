@@ -30,7 +30,11 @@ import numpy as np
 from okvis2_tpu.core import so3
 from okvis2_tpu.core.se3 import Transformation
 from okvis2_tpu.frontend.descriptor import describe_keypoints
-from okvis2_tpu.frontend.detection import DetectionConfig, detect_keypoints
+from okvis2_tpu.frontend.detection import (
+    DetectionConfig,
+    detect_keypoints,
+    detect_keypoints_batch,
+)
 from okvis2_tpu.frontend.matching import match_descriptors
 from okvis2_tpu.frontend.ransac import ransac_absolute_pose
 from okvis2_tpu.frontend.triangulation import triangulate_in_frames
@@ -99,10 +103,28 @@ class Frontend:
         return k
 
     def detect_and_describe(self, images: List[np.ndarray]):
-        """Per-camera detection+description (batched on device).
-
-        Returns list of dicts per camera with numpy arrays.
+        """Whole-rig detection+description: one batched device call when
+        all cameras share a resolution (the common case), per-camera
+        calls otherwise. Returns list of dicts per camera.
         """
+        shapes = {img.shape for img in images}
+        if len(shapes) == 1:
+            stack = jnp.asarray(np.stack(images))
+            det = detect_keypoints_batch(stack, self.cfg.detection)
+            desc = jax.vmap(describe_keypoints)(
+                stack, det["xy"], det["size"], det["mask"]
+            )
+            return [
+                {
+                    "xy": np.asarray(det["xy"][ci]),
+                    "size": np.asarray(det["size"][ci]),
+                    "score": np.asarray(det["score"][ci]),
+                    "mask": np.asarray(det["mask"][ci]),
+                    "signs": desc["signs"][ci],  # device-resident
+                    "packed": np.asarray(desc["packed"][ci]),
+                }
+                for ci in range(len(images))
+            ]
         out = []
         for ci, img in enumerate(images):
             imgj = jnp.asarray(img)
