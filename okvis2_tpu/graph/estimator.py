@@ -640,7 +640,10 @@ class Estimator:
     def _convert_one_keyframe(self, sid: int):
         cfg = self.cfg
         rec = self.states[sid]
-        # strongest covisible keyframe still in window = reference frame
+        # pick reference keyframe(s) via the covisibility maximum spanning
+        # tree over {sid + window keyframes} (convertToPoseGraphMst /
+        # buildMst, ViGraphEstimator.cpp:875-930): the factor attaches to
+        # sid's MST neighbour, which is the strongest covisibility path
         partners = {
             s: 0 for s in self.window
             if s != sid and self.states[s].is_keyframe
@@ -650,13 +653,36 @@ class Estimator:
             self._strip_observations(sid)
             rec.is_pose_graph_frame = True
             return
+        nodes = [sid] + list(partners)
+        node_idx = {s: i for i, s in enumerate(nodes)}
+        pair_cov: Dict[Tuple[int, int], int] = {}
+        node_set = set(nodes)
         for lm in self.landmarks.values():
-            sids = {k[0] for k in lm.obs}
-            if sid in sids:
-                for s in sids:
-                    if s in partners:
-                        partners[s] += 1
-        ref = max(partners, key=partners.get)
+            sids = sorted({k[0] for k in lm.obs} & node_set)
+            for a_i in range(len(sids)):
+                for b_i in range(a_i + 1, len(sids)):
+                    key = (sids[a_i], sids[b_i])
+                    pair_cov[key] = pair_cov.get(key, 0) + 1
+        edges = [
+            (node_idx[a], node_idx[b], w) for (a, b), w in pair_cov.items()
+        ]
+        mst = max_spanning_tree(len(nodes), edges)
+        # sid's neighbours in the MST; fall back to strongest direct pair
+        refs = [
+            nodes[v] if nodes[u] == sid else nodes[u]
+            for u, v, _ in mst
+            if sid in (nodes[u], nodes[v])
+        ]
+        if refs:
+            ref = refs[0]
+        else:
+            for lm in self.landmarks.values():
+                sids = {k[0] for k in lm.obs}
+                if sid in sids:
+                    for s in sids:
+                        if s in partners:
+                            partners[s] += 1
+            ref = max(partners, key=partners.get)
 
         # gather shared observations (both frames' obs of common landmarks)
         shared = []

@@ -82,6 +82,13 @@ def shard_problem_by_landmark(
         problem,
         landmarks=jnp.asarray(_pad_rows(np.array(problem.landmarks), Lp)),
         lm_mask=jnp.asarray(_pad_rows(np.array(problem.lm_mask), Lp)),
+        lm_prior=jnp.asarray(_pad_rows(np.array(problem.lm_prior), Lp)),
+        lm_prior_sqrt=jnp.asarray(
+            _pad_rows(np.array(problem.lm_prior_sqrt), Lp)
+        ),
+        lm_prior_mask=jnp.asarray(
+            _pad_rows(np.array(problem.lm_prior_mask), Lp)
+        ),
         obs_state=jnp.asarray(gather_obs(problem.obs_state)),
         obs_cam=jnp.asarray(gather_obs(problem.obs_cam)),
         obs_lm=jnp.asarray(gather_obs(problem.obs_lm)),
@@ -127,6 +134,7 @@ def solve_full_graph_sharded(
         return dataclasses.replace(
             reps,
             landmarks=P(axis), lm_mask=P(axis),
+            lm_prior=P(axis), lm_prior_sqrt=P(axis), lm_prior_mask=P(axis),
             obs_state=P(axis), obs_cam=P(axis), obs_lm=P(axis),
             obs_uv=P(axis), obs_sqrt_info=P(axis), obs_mask=P(axis),
         )

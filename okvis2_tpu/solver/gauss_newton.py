@@ -175,8 +175,18 @@ def problem_cost(
     if axis_name is not None:
         cost_obs = jax.lax.psum(cost_obs, axis_name)
     r_imu, r_pp, r_sbp, r_rel = _other_residuals(problem, imu_params)
+    # landmark priors (HomogeneousPointError): sharded with the landmarks
+    m_lp = problem.lm_prior_mask & problem.lm_mask
+    d_lp = (problem.landmarks[:, :3] - problem.lm_prior[:, :3]) \
+        * problem.lm_prior_sqrt[:, None]
+    cost_lp = 0.5 * jnp.sum(
+        jnp.where(m_lp[:, None], d_lp * d_lp, 0.0)
+    )
+    if axis_name is not None:
+        cost_lp = jax.lax.psum(cost_lp, axis_name)
     return (
         cost_obs
+        + cost_lp
         + 0.5 * jnp.sum(r_imu * r_imu)
         + 0.5 * jnp.sum(r_pp * r_pp)
         + 0.5 * jnp.sum(r_sbp * r_sbp)
@@ -283,6 +293,13 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     bl = jax.ops.segment_sum(
         -jnp.einsum("oid,oi->od", Jl, r0), problem.obs_lm, num_segments=L
     )  # [L,3]
+    # landmark priors: isotropic diagonal block + rhs
+    m_lp = (problem.lm_prior_mask & problem.lm_mask).astype(dtype)
+    w_lp = (problem.lm_prior_sqrt**2) * m_lp  # [L]
+    Hll = Hll + jnp.eye(3, dtype=dtype)[None] * w_lp[:, None, None]
+    bl = bl - w_lp[:, None] * (
+        problem.landmarks[:, :3] - problem.lm_prior[:, :3]
+    )
     W = jax.ops.segment_sum(
         jnp.einsum("oid,oie->ode", Jx, Jl), problem.obs_lm, num_segments=L
     )  # [L,D,3]

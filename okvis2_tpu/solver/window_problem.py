@@ -87,6 +87,11 @@ class WindowProblem:
     rel_T: jnp.ndarray  # [R,7] measured T_ij
     rel_sqrt: jnp.ndarray  # [R,6,6]
     rel_mask: jnp.ndarray  # [R] bool
+    # --- landmark priors (HomogeneousPointError role: multi-session /
+    # loaded-map anchoring, okvis_ceres/src/HomogeneousPointError.cpp) ---
+    lm_prior: jnp.ndarray  # [L,4] prior homogeneous point
+    lm_prior_sqrt: jnp.ndarray  # [L] isotropic whitening (1/sigma)
+    lm_prior_mask: jnp.ndarray  # [L] bool
 
     _FIELDS = (
         "pose", "speed_bias", "extrinsics", "landmarks",
@@ -96,6 +101,7 @@ class WindowProblem:
         "pose_prior", "pose_prior_sqrt", "pose_prior_mask",
         "sb_prior", "sb_prior_sqrt", "sb_prior_mask",
         "rel_i", "rel_j", "rel_T", "rel_sqrt", "rel_mask",
+        "lm_prior", "lm_prior_sqrt", "lm_prior_mask",
     )
 
     def tree_flatten(self):
@@ -197,4 +203,7 @@ class WindowProblem:
             ),
             rel_sqrt=_z((R, 6, 6), dtype),
             rel_mask=jnp.zeros((R,), bool),
+            lm_prior=lm,
+            lm_prior_sqrt=jnp.ones((L,), dtype),
+            lm_prior_mask=jnp.zeros((L,), bool),
         )

@@ -1,0 +1,58 @@
+"""Final bundle adjustment + marginalisation reversal tests."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_final_ba_improves_or_holds():
+    """Run a short VIO session, marginalise (pose-graph edges form), then
+    final-BA: edges convert back to observations and the global solve
+    must not degrade the trajectory (doFinalBa,
+    ViSlamBackend.cpp:1759-1892)."""
+    from okvis2_tpu.pipeline.synthetic_run import run_synthetic_vio
+    from okvis2_tpu.pipeline.final_ba import do_final_ba
+    from okvis2_tpu.pipeline.trajectory import ate_rmse
+
+    res = run_synthetic_vio(duration=2.0, frame_rate=4.0)
+    slam = res["slam"]
+    ate_before = res["ate_rmse"]
+    stats = do_final_ba(
+        slam.estimator, iterations=15,
+        max_states=32, max_landmarks=1024, max_obs=8192,
+    )
+    assert stats["states"] > 4
+    assert stats["landmarks"] > 50
+    traj = slam.trajectory()
+    ate_after = ate_rmse(traj, res["gt_traj"])
+    assert np.isfinite(ate_after)
+    # final BA over exact measurements must not be worse than online
+    assert ate_after < ate_before * 1.5 + 1e-3, (ate_before, ate_after)
+
+
+def test_convert_edges_restores_observations():
+    from okvis2_tpu.graph.estimator import Estimator, EstimatorConfig, PoseGraphEdge
+    from okvis2_tpu.imu.preintegration import ImuParameters
+    from okvis2_tpu.pipeline.final_ba import convert_edges_to_observations
+    from okvis2_tpu.utils.synthetic import stereo_rig
+
+    cams, exts = stereo_rig()
+    est = Estimator(cams, exts, ImuParameters.create(), EstimatorConfig())
+    s0 = est.add_state(0.0, np.zeros((5, 3)), np.tile([0, 0, 9.81], (5, 1)),
+                       np.full(5, 0.01))
+    lid = est.add_landmark([1, 2, 5, 1.0], initialised=True)
+    stored = [(lid, s0, 0, 7, 100.0, 110.0, 9.0)]
+    est.pose_graph_edges.append(
+        PoseGraphEdge(s0, s0, np.array([0, 0, 0, 0, 0, 0, 1.0]),
+                      np.eye(6), stored, "marg")
+    )
+    # also a loop edge that must survive
+    est.pose_graph_edges.append(
+        PoseGraphEdge(s0, s0, np.array([0, 0, 0, 0, 0, 0, 1.0]),
+                      np.eye(6), [], "loop")
+    )
+    n = convert_edges_to_observations(est)
+    assert n == 1
+    assert (s0, 0, 7) in est.landmarks[lid].obs
+    assert len(est.pose_graph_edges) == 1
+    assert est.pose_graph_edges[0].kind == "loop"
