@@ -194,13 +194,22 @@ class Estimator:
             r=jnp.asarray(prev.pose[:3]), q=jnp.asarray(prev.pose[3:7])
         )
         if len(imu_dt):
+            # pad to a fixed capacity: variable measurement counts would
+            # recompile the propagation program every frame (dt=0 rows
+            # are exact no-ops in the scan)
+            cap = 64
+            while cap < len(imu_dt):
+                cap *= 2
+            wp = np.zeros((cap, 3)); wp[: len(imu_dt)] = imu_w
+            ap = np.zeros((cap, 3)); ap[: len(imu_dt)] = imu_a
+            dtp = np.zeros(cap); dtp[: len(imu_dt)] = imu_dt
             T1, sb1 = propagate_state(
                 self.imu_params,
                 T_prev,
                 jnp.asarray(prev.speed_bias),
-                jnp.asarray(imu_w),
-                jnp.asarray(imu_a),
-                jnp.asarray(imu_dt),
+                jnp.asarray(wp),
+                jnp.asarray(ap),
+                jnp.asarray(dtp),
             )
             pose = np.concatenate([np.asarray(T1.r), np.asarray(T1.q)])
             sb = np.asarray(sb1)
@@ -557,6 +566,10 @@ class Estimator:
         summed direction outer products; initialise when > threshold)."""
         window = set(self.window)
         for lm in self.landmarks.values():
+            if lm.initialised:
+                # quality only gates initialisation; once initialised the
+                # landmark stays (matches the reference's one-way switch)
+                continue
             dirs = []
             p = lm.hp_W[:3] / (lm.hp_W[3] if abs(lm.hp_W[3]) > 1e-12 else 1e-12)
             for (sid, ci, _kp) in lm.obs:

@@ -129,6 +129,7 @@ class Preintegrated:
         return cls(*children)
 
 
+@jax.jit
 def preintegrate(
     params: ImuParameters,
     gyro: jnp.ndarray,  # [N,3] averaged-interval gyro measurements
@@ -236,8 +237,21 @@ def preintegrate(
     )
 
     P = 0.5 * (P + P.T)
-    # guard: a zero-length segment must still be invertible for whitening
-    P = P + jnp.eye(15, dtype=dtype) * 1e-14
+    # Covariance floor: (a) a zero-length segment must stay invertible;
+    # (b) near-noiseless measurements (synthetic data, very short
+    # segments) would otherwise give information ~1e12 that swamps the
+    # vision terms when the normal equations are accumulated in float32
+    # on TPU. The floor models preintegration discretisation error and
+    # bounds the whitened scale to f32-safe magnitudes.
+    floor = jnp.concatenate(
+        [
+            jnp.full((3,), 1e-8, dtype),  # position [m^2]  (σ=0.1 mm)
+            jnp.full((3,), 1e-10, dtype),  # rotation [rad^2]
+            jnp.full((3,), 1e-8, dtype),  # velocity [(m/s)^2]
+            jnp.full((6,), 1e-12, dtype),  # biases
+        ]
+    )
+    P = P + jnp.diag(floor)
     from okvis2_tpu.ops.linalg import spd_inverse_sqrt
 
     sqrt_info = spd_inverse_sqrt(P)
@@ -314,6 +328,7 @@ def correct_for_bias(pre: Preintegrated, bg: jnp.ndarray, ba: jnp.ndarray):
     return dq_corr, dv, dp
 
 
+@jax.jit
 def propagate_state(
     params: ImuParameters,
     T_WS: Transformation,

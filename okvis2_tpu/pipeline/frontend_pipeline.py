@@ -232,18 +232,27 @@ class Frontend:
                         obs.append((lid, kp, u, v))
             if len(obs) < max(cfg.ransac_min_inliers, 8):
                 continue
-            pts = np.stack([
+            # fixed-capacity padding: variable correspondence counts would
+            # recompile the RANSAC program every frame
+            cap = cfg.detection.max_keypoints
+            obs = obs[:cap]
+            n = len(obs)
+            pts = np.zeros((cap, 3))
+            pts[:n] = np.stack([
                 estimator.landmarks[lid].hp_W[:3]
                 / max(estimator.landmarks[lid].hp_W[3], 1e-12)
                 for lid, _, _, _ in obs
             ])
-            uv = np.stack([[u, v] for _, _, u, v in obs])
+            uv = np.zeros((cap, 2))
+            uv[:n] = np.stack([[u, v] for _, _, u, v in obs])
+            mask = np.zeros(cap, bool)
+            mask[:n] = True
             rays = np.asarray(cam.back_project(jnp.asarray(uv)))
             res = ransac_absolute_pose(
                 self._next_key(),
                 jnp.asarray(pts),
                 jnp.asarray(rays),
-                jnp.ones(len(obs), bool),
+                jnp.asarray(mask),
             )
             if not bool(res["ok"]):
                 continue
@@ -306,32 +315,31 @@ class Frontend:
             gate=gate,
         )
         ok = np.asarray(m["valid"])
-        idx_b = np.asarray(m["idx_b"])
         if not ok.any():
             return 0
-        ai = np.nonzero(ok)[0]
-        bi = idx_b[ai]
+        # fixed-shape triangulation over ALL keypoints (masked): variable
+        # match counts would recompile the program every frame
+        bi_full = jnp.where(m["valid"], m["idx_b"], 0)
         T_WA = T_WS @ self.extrinsics[ci]
         T_WB = T_WS @ self.extrinsics[cj]
         hp_W, valid, parallel = triangulate_in_frames(
-            T_WA, T_WB, rays_a[ai], rays_b[jnp.asarray(bi)]
+            T_WA, T_WB, rays_a, rays_b[bi_full]
         )
-        hp_W = np.asarray(hp_W)
-        valid = np.asarray(valid)
-        parallel = np.asarray(parallel)
-        # depth sanity in camera A
         T_AW = T_WA.inverse()
-        p_A = np.asarray(
-            jax.vmap(T_AW.apply_homogeneous)(jnp.asarray(hp_W))
-        )
-        w = np.maximum(np.abs(p_A[:, 3]), 1e-12)
+        p_A = jax.vmap(T_AW.apply_homogeneous)(hp_W)
+        hp_W = np.asarray(hp_W)
+        valid = np.asarray(valid) & ok
+        parallel = np.asarray(parallel)
+        p_A = np.asarray(p_A)
         depth = p_A[:, 2] / np.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
         good = valid & (
             parallel | ((depth > cfg.min_depth) & (depth < cfg.max_depth))
         )
-        for k in np.nonzero(good)[0]:
-            a, b = int(ai[k]), int(bi[k])
-            lid = estimator.add_landmark(hp_W[k], initialised=not parallel[k])
+        idx_b = np.asarray(m["idx_b"])
+        for a in np.nonzero(good)[0]:
+            a = int(a)
+            b = int(idx_b[a])
+            lid = estimator.add_landmark(hp_W[a], initialised=not parallel[a])
             estimator.add_observation(
                 lid, sid, ci, a, fa["xy"][a], fa["size"][a]
             )
@@ -412,28 +420,29 @@ class Frontend:
                 gate=gate,
             )
             ok = np.asarray(m["valid"])
-            idx_b = np.asarray(m["idx_b"])
             if not ok.any():
                 continue
-            ai = np.nonzero(ok)[0]
-            bi = idx_b[ai]
+            # fixed-shape triangulation over all keypoints (masked) —
+            # variable match counts would recompile every frame
+            bi_full = jnp.where(m["valid"], m["idx_b"], 0)
             hp_W, valid, parallel = triangulate_in_frames(
-                T_WA, T_WB, rays_a[ai], rays_b[jnp.asarray(bi)]
+                T_WA, T_WB, rays_a, rays_b[bi_full]
             )
-            hp_W = np.asarray(hp_W)
-            valid = np.asarray(valid)
-            parallel = np.asarray(parallel)
             T_AW = T_WA.inverse()
-            p_A = np.asarray(
-                jax.vmap(T_AW.apply_homogeneous)(jnp.asarray(hp_W))
-            )
+            p_A = jax.vmap(T_AW.apply_homogeneous)(hp_W)
+            hp_W = np.asarray(hp_W)
+            valid = np.asarray(valid) & ok
+            parallel = np.asarray(parallel)
+            p_A = np.asarray(p_A)
             depth = p_A[:, 2] / np.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
             good = valid & ~parallel & (depth > cfg.min_depth) & (
                 depth < cfg.max_depth
             )
-            for k in np.nonzero(good)[0]:
-                a, b = int(ai[k]), int(bi[k])
-                lid = estimator.add_landmark(hp_W[k], initialised=True)
+            idx_b = np.asarray(m["idx_b"])
+            for a in np.nonzero(good)[0]:
+                a = int(a)
+                b = int(idx_b[a])
+                lid = estimator.add_landmark(hp_W[a], initialised=True)
                 estimator.add_observation(
                     lid, kf_id, ci, a, fa["xy"][a], fa["size"][a]
                 )

@@ -48,6 +48,7 @@ class LoopClosureConfig:
     # set is noisier, so accept a lower inlier share
     min_inlier_ratio: float = 0.55
     verify_match_threshold: int = 80  # Hamming, wider than tracking
+    verify_capacity: int = 512  # fixed landmark-candidate slots per verify
     exclude_recent: int = 10  # don't match against the last N keyframes
     full_graph_slots: int = 128
     full_graph_rel_slots: int = 256
@@ -156,33 +157,42 @@ class LoopClosureBackend:
         if len(sel) < cfg.min_inliers:
             self.last_verify_info = f"few sel {len(sel)}"
             return None
-        lm_signs = jnp.asarray(np.stack([old["signs"][kp] for _, kp in sel]))
-        pts_W = np.stack([
+        # fixed-capacity padding throughout: variable landmark/match counts
+        # would recompile the matching + RANSAC programs on every query
+        cap = cfg.verify_capacity
+        sel = sel[:cap]
+        n_sel = len(sel)
+        sg = np.zeros((cap,) + old["signs"].shape[1:], old["signs"].dtype)
+        sg[:n_sel] = np.stack([old["signs"][kp] for _, kp in sel])
+        sel_mask = np.zeros(cap, bool)
+        sel_mask[:n_sel] = True
+        pts_W = np.zeros((cap, 3))
+        pts_W[:n_sel] = np.stack([
             estimator.landmarks[lid].hp_W[:3]
             / max(estimator.landmarks[lid].hp_W[3], 1e-12)
             for lid, _ in sel
         ])
         f0 = frames[0]
         m = match_descriptors(
-            lm_signs,
-            jnp.ones(len(sel), bool),
+            jnp.asarray(sg),
+            jnp.asarray(sel_mask),
             f0["signs"],
             jnp.asarray(f0["mask"]),
             max_distance=cfg.verify_match_threshold,
         )
         ok = np.asarray(m["valid"])
-        idx = np.asarray(m["idx_b"])
         if ok.sum() < cfg.min_inliers:
-            self.last_verify_info = f"few desc matches {int(ok.sum())}/{len(sel)}"
+            self.last_verify_info = f"few desc matches {int(ok.sum())}/{n_sel}"
             return None
         cam0 = self.cameras[0]
-        uv = np.asarray(f0["xy"])[idx[ok]]
-        rays = np.asarray(cam0.back_project(jnp.asarray(uv)))
+        idx_full = jnp.where(m["valid"], m["idx_b"], 0)
+        uv = jnp.asarray(f0["xy"])[idx_full]
+        rays = cam0.back_project(uv)
         res = ransac_absolute_pose(
             self._next_key(),
-            jnp.asarray(pts_W[ok]),
-            jnp.asarray(rays),
-            jnp.ones(int(ok.sum()), bool),
+            jnp.asarray(pts_W),
+            rays,
+            jnp.asarray(ok),
         )
         n_in = int(res["num_inliers"])
         if n_in < cfg.min_inliers or n_in < cfg.min_inlier_ratio * int(ok.sum()):
@@ -326,20 +336,36 @@ class LoopClosureBackend:
         for s, i in slot_of.items():
             estimator.states[s].pose = pose[i]
             estimator.states[s].speed_bias = sb[i]
-        # transform landmarks by their anchor's pose change
-        for lm in estimator.landmarks.values():
+        # transform landmarks rigidly by their anchor keyframe's pose
+        # change — batched into one device call (numpy grouping on host)
+        lm_list = []
+        anchor_of = []
+        for lid, lm in estimator.landmarks.items():
             anchor = None
             for (s, ci, kp) in lm.obs:
                 if s in slot_of:
                     anchor = s
                     break
-            if anchor is None:
-                continue
-            T_old = _T_of(old_poses[anchor])
-            T_new = _T_of(estimator.states[anchor].pose)
-            delta = T_new @ T_old.inverse()
-            hp = jnp.asarray(lm.hp_W)
-            lm.hp_W = np.asarray(delta.apply_homogeneous(hp))
+            if anchor is not None:
+                lm_list.append(lid)
+                anchor_of.append(anchor)
+        if lm_list:
+            anchors = sorted(set(anchor_of))
+            a_idx = {a: i for i, a in enumerate(anchors)}
+            deltas_r = np.zeros((len(anchors), 3))
+            deltas_q = np.zeros((len(anchors), 4))
+            for a, i in a_idx.items():
+                d = _T_of(estimator.states[a].pose) @ _T_of(old_poses[a]).inverse()
+                deltas_r[i] = np.asarray(d.r)
+                deltas_q[i] = np.asarray(d.q)
+            hp_all = np.stack([estimator.landmarks[l].hp_W for l in lm_list])
+            sel = np.asarray([a_idx[a] for a in anchor_of])
+            T_batch = Transformation(
+                r=jnp.asarray(deltas_r[sel]), q=jnp.asarray(deltas_q[sel])
+            )
+            hp_new = np.asarray(T_batch.apply_homogeneous(jnp.asarray(hp_all)))
+            for l, hp in zip(lm_list, hp_new):
+                estimator.landmarks[l].hp_W = hp
         estimator._pre_cache.clear()
         return stats
 

@@ -471,7 +471,12 @@ def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config,
 
     from okvis2_tpu.ops.linalg import spd_solve
 
-    dx = spd_solve(S_red, b_red)
+    # Jacobi preconditioning: IMU-bias rows carry information ~1e10 while
+    # vision rows are ~1e4; rescaling to unit diagonal keeps the Cholesky
+    # stable in float32 on TPU (float64 barely notices)
+    d_pre = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S_red), 1e-30))
+    S_pre = S_red * d_pre[:, None] * d_pre[None, :]
+    dx = d_pre * spd_solve(S_pre, d_pre * b_red)
     dx = dx * free_x
 
     # back-substitute landmarks
