@@ -31,3 +31,14 @@ Layer map (mirrors the reference's module split, reference SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# TPU matmuls default to bf16 multiplication passes, which destroys the
+# solver's normal equations and the IMU covariance propagation in f32
+# (measured: stable tracking on CPU f32, linear divergence on TPU until
+# this flag). Estimation is precision-critical; set full-f32 matmuls
+# globally. Throughput-critical frontend matmuls that are exact in bf16
+# (the ±1 Hamming product accumulates in f32 on the MXU) opt back down
+# locally with jax.default_matmul_precision("default").
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

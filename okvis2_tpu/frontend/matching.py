@@ -29,9 +29,14 @@ def hamming_distance_matrix(
     signs_b: jnp.ndarray,  # [M,B]
 ) -> jnp.ndarray:
     """[N,M] Hamming distances (float). Invalid rows give distance B/2."""
-    dot = jnp.einsum(
-        "nb,mb->nm", signs_a, signs_b, preferred_element_type=signs_a.dtype
-    )
+    # ±1 inputs are exact in bf16 and the MXU accumulates in f32, so this
+    # matmul may run at fast (default) precision despite the framework's
+    # global 'highest' setting
+    with jax.default_matmul_precision("default"):
+        dot = jnp.einsum(
+            "nb,mb->nm", signs_a, signs_b,
+            preferred_element_type=signs_a.dtype,
+        )
     return 0.5 * (DESCRIPTOR_BITS - dot)
 
 

@@ -48,9 +48,10 @@ def _dlt_pose(points_W: jnp.ndarray, rays_C: jnp.ndarray):
     # unknown vector m = [r11..r13, r21..r23, r31..r33, t1..t3] (12)
     A_R = jnp.einsum("kij,kl->kijl", rx, points_W).reshape(K, 3, 9)
     A = jnp.concatenate([A_R, rx], axis=-1).reshape(K * 3, 12)
-    # null vector = right singular vector of smallest singular value
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    m = vt[-1]
+    # null vector = eigenvector of A^T A with the smallest eigenvalue
+    # (eigh on a 12x12 is far cheaper than SVD of the tall A on TPU)
+    _, evecs = jnp.linalg.eigh(A.T @ A)
+    m = evecs[:, 0]
     R_raw = m[:9].reshape(3, 3)
     t_raw = m[9:12]
     # project to SO(3) (procrustes), recover scale from the projection
@@ -162,8 +163,8 @@ def _essential_8pt(rays_A: jnp.ndarray, rays_B: jnp.ndarray):
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
     )  # [K,9]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    E = vt[-1].reshape(3, 3)
+    _, evecs = jnp.linalg.eigh(A.T @ A)  # 9x9 eigh beats SVD of A on TPU
+    E = evecs[:, 0].reshape(3, 3)
     # enforce rank-2 with equal singular values
     u, s, vt2 = jnp.linalg.svd(E)
     E = u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt2

@@ -86,6 +86,59 @@ def _match_map_device(
     return m["idx_b"], m["valid"]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_distance", "allow_parallel")
+)
+def _stereo_device(
+    cam_a,
+    cam_b,
+    T_WA7: jnp.ndarray,  # [7] camera-A pose in world
+    T_WB7: jnp.ndarray,  # [7] camera-B pose in world
+    xy_a: jnp.ndarray,
+    signs_a: jnp.ndarray,
+    free_a: jnp.ndarray,
+    xy_b: jnp.ndarray,
+    signs_b: jnp.ndarray,
+    free_b: jnp.ndarray,
+    epi_gate: jnp.ndarray,
+    min_depth: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    max_distance: int,
+    allow_parallel: bool,
+):
+    """One-dispatch epipolar-gated matching + triangulation between two
+    camera views (shared by static stereo and motion stereo). Returns
+    (idx_b [N], hp_W [N,4], good [N], parallel [N])."""
+    T_WA = Transformation(r=T_WA7[:3], q=T_WA7[3:7])
+    T_WB = Transformation(r=T_WB7[:3], q=T_WB7[3:7])
+    rays_a = cam_a.back_project(xy_a)
+    rays_b = cam_b.back_project(xy_b)
+    T_AB = T_WA.inverse() @ T_WB
+    rays_b_in_a = (T_AB.C @ rays_b.T).T
+    n_plane = jnp.cross(jnp.broadcast_to(T_AB.r, rays_a.shape), rays_a)
+    n_plane = n_plane / (
+        jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
+    )
+    epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
+    gate = epi < epi_gate
+    m = match_descriptors(
+        signs_a, free_a, signs_b, free_b,
+        max_distance=max_distance, gate=gate,
+    )
+    bi_full = jnp.where(m["valid"], m["idx_b"], 0)
+    hp_W, valid_t, parallel = triangulate_in_frames(
+        T_WA, T_WB, rays_a, rays_b[bi_full]
+    )
+    p_A = jax.vmap(T_WA.inverse().apply_homogeneous)(hp_W)
+    safe_w = jnp.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
+    depth = p_A[:, 2] / safe_w
+    depth_ok = (depth > min_depth) & (depth < max_depth)
+    good = m["valid"] & valid_t & (
+        (parallel & allow_parallel) | (~parallel & depth_ok)
+    )
+    return m["idx_b"], hp_W, good, parallel
+
+
 class Frontend:
     def __init__(self, cameras, extrinsics: List[Transformation],
                  config: FrontendConfig = FrontendConfig()):
@@ -283,21 +336,6 @@ class Frontend:
         }
         ci, cj = 0, 1
         fa, fb = frames[ci], frames[cj]
-        cam_a, cam_b = self.cameras[ci], self.cameras[cj]
-        T_ab = self.extrinsics[ci].inverse() @ self.extrinsics[cj]
-
-        # epipolar gate: distance of b-ray to the epipolar plane of a-ray
-        rays_a = cam_a.back_project(jnp.asarray(fa["xy"]))  # [N,3] in cam a
-        rays_b = cam_b.back_project(jnp.asarray(fb["xy"]))  # [M,3] in cam b
-        rays_b_in_a = (T_ab.C @ rays_b.T).T
-        t = T_ab.r
-        # epipolar residual: | (t x ray_a) . ray_b | (normalised)
-        n_plane = jnp.cross(jnp.broadcast_to(t, rays_a.shape), rays_a)
-        n_plane = n_plane / (
-            jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
-        )
-        epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
-        gate = epi < (cfg.stereo_epipolar_gate / 460.0)  # rad-ish scale
         # don't re-use keypoints already matched to the map
         free_a = np.asarray(fa["mask"]).copy()
         for (c, kp) in used:
@@ -308,34 +346,22 @@ class Frontend:
             if c == cj:
                 free_b[kp] = False
 
-        m = match_descriptors(
-            fa["signs"], jnp.asarray(free_a),
-            fb["signs"], jnp.asarray(free_b),
-            max_distance=cfg.matching_threshold,
-            gate=gate,
-        )
-        ok = np.asarray(m["valid"])
-        if not ok.any():
-            return 0
-        # fixed-shape triangulation over ALL keypoints (masked): variable
-        # match counts would recompile the program every frame
-        bi_full = jnp.where(m["valid"], m["idx_b"], 0)
         T_WA = T_WS @ self.extrinsics[ci]
         T_WB = T_WS @ self.extrinsics[cj]
-        hp_W, valid, parallel = triangulate_in_frames(
-            T_WA, T_WB, rays_a, rays_b[bi_full]
+        idx_b, hp_W, good, parallel = _stereo_device(
+            self.cameras[ci], self.cameras[cj],
+            jnp.concatenate([T_WA.r, T_WA.q]),
+            jnp.concatenate([T_WB.r, T_WB.q]),
+            jnp.asarray(fa["xy"]), fa["signs"], jnp.asarray(free_a),
+            jnp.asarray(fb["xy"]), fb["signs"], jnp.asarray(free_b),
+            jnp.asarray(cfg.stereo_epipolar_gate / 460.0),
+            jnp.asarray(cfg.min_depth), jnp.asarray(cfg.max_depth),
+            cfg.matching_threshold, True,
         )
-        T_AW = T_WA.inverse()
-        p_A = jax.vmap(T_AW.apply_homogeneous)(hp_W)
         hp_W = np.asarray(hp_W)
-        valid = np.asarray(valid) & ok
+        good = np.asarray(good)
         parallel = np.asarray(parallel)
-        p_A = np.asarray(p_A)
-        depth = p_A[:, 2] / np.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
-        good = valid & (
-            parallel | ((depth > cfg.min_depth) & (depth < cfg.max_depth))
-        )
-        idx_b = np.asarray(m["idx_b"])
+        idx_b = np.asarray(idx_b)
         for a in np.nonzero(good)[0]:
             a = int(a)
             b = int(idx_b[a])
@@ -394,17 +420,6 @@ class Frontend:
             baseline = float(jnp.linalg.norm(T_AB.r))
             if baseline < 0.02:  # no parallax yet
                 continue
-            rays_a = cam.back_project(jnp.asarray(fa["xy"]))
-            rays_b = cam.back_project(jnp.asarray(fb["xy"]))
-            rays_b_in_a = (T_AB.C @ rays_b.T).T
-            n_plane = jnp.cross(
-                jnp.broadcast_to(T_AB.r, rays_a.shape), rays_a
-            )
-            n_plane = n_plane / (
-                jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
-            )
-            epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
-            gate = epi < (cfg.stereo_epipolar_gate / 460.0)
             free_a = np.asarray(fa["mask"]).copy()
             for (c, kp) in used_kf:
                 if c == ci and kp < len(free_a):
@@ -413,32 +428,19 @@ class Frontend:
             for (c, kp) in used_new:
                 if c == ci and kp < len(free_b):
                     free_b[kp] = False
-            m = match_descriptors(
-                fa["signs"], jnp.asarray(free_a),
-                fb["signs"], jnp.asarray(free_b),
-                max_distance=cfg.matching_threshold,
-                gate=gate,
+            idx_b, hp_W, good, parallel = _stereo_device(
+                cam, cam,
+                jnp.concatenate([T_WA.r, T_WA.q]),
+                jnp.concatenate([T_WB.r, T_WB.q]),
+                jnp.asarray(fa["xy"]), fa["signs"], jnp.asarray(free_a),
+                jnp.asarray(fb["xy"]), fb["signs"], jnp.asarray(free_b),
+                jnp.asarray(cfg.stereo_epipolar_gate / 460.0),
+                jnp.asarray(cfg.min_depth), jnp.asarray(cfg.max_depth),
+                cfg.matching_threshold, False,
             )
-            ok = np.asarray(m["valid"])
-            if not ok.any():
-                continue
-            # fixed-shape triangulation over all keypoints (masked) —
-            # variable match counts would recompile every frame
-            bi_full = jnp.where(m["valid"], m["idx_b"], 0)
-            hp_W, valid, parallel = triangulate_in_frames(
-                T_WA, T_WB, rays_a, rays_b[bi_full]
-            )
-            T_AW = T_WA.inverse()
-            p_A = jax.vmap(T_AW.apply_homogeneous)(hp_W)
             hp_W = np.asarray(hp_W)
-            valid = np.asarray(valid) & ok
-            parallel = np.asarray(parallel)
-            p_A = np.asarray(p_A)
-            depth = p_A[:, 2] / np.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
-            good = valid & ~parallel & (depth > cfg.min_depth) & (
-                depth < cfg.max_depth
-            )
-            idx_b = np.asarray(m["idx_b"])
+            good = np.asarray(good)
+            idx_b = np.asarray(idx_b)
             for a in np.nonzero(good)[0]:
                 a = int(a)
                 b = int(idx_b[a])
