@@ -35,6 +35,23 @@ def _sample_indices(key, n_hyp, sample_size, n, weights):
     return jax.vmap(one)(keys)
 
 
+def _null_vector(M: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of a small PSD matrix by
+    inverse iteration (Cholesky solves) — both eigh and SVD are slow
+    iterative lowerings on TPU; 4 inverse iterations resolve the null
+    direction of a RANSAC normal matrix to working precision."""
+    import jax.scipy.linalg as jsl
+
+    d = M.shape[0]
+    eps = 1e-9 * jnp.trace(M) + 1e-30
+    L = jnp.linalg.cholesky(M + eps * jnp.eye(d, dtype=M.dtype))
+    x = jnp.ones((d,), M.dtype)
+    for _ in range(4):
+        x = jsl.cho_solve((L, True), x)
+        x = x / (jnp.linalg.norm(x) + 1e-30)
+    return x
+
+
 def _dlt_pose(points_W: jnp.ndarray, rays_C: jnp.ndarray):
     """Absolute pose from >=6 3D-ray correspondences by DLT + procrustes.
 
@@ -49,9 +66,7 @@ def _dlt_pose(points_W: jnp.ndarray, rays_C: jnp.ndarray):
     A_R = jnp.einsum("kij,kl->kijl", rx, points_W).reshape(K, 3, 9)
     A = jnp.concatenate([A_R, rx], axis=-1).reshape(K * 3, 12)
     # null vector = eigenvector of A^T A with the smallest eigenvalue
-    # (eigh on a 12x12 is far cheaper than SVD of the tall A on TPU)
-    _, evecs = jnp.linalg.eigh(A.T @ A)
-    m = evecs[:, 0]
+    m = _null_vector(A.T @ A)
     R_raw = m[:9].reshape(3, 3)
     t_raw = m[9:12]
     # project to SO(3) (procrustes), recover scale from the projection
@@ -163,8 +178,7 @@ def _essential_8pt(rays_A: jnp.ndarray, rays_B: jnp.ndarray):
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
     )  # [K,9]
-    _, evecs = jnp.linalg.eigh(A.T @ A)  # 9x9 eigh beats SVD of A on TPU
-    E = evecs[:, 0].reshape(3, 3)
+    E = _null_vector(A.T @ A).reshape(3, 3)
     # enforce rank-2 with equal singular values
     u, s, vt2 = jnp.linalg.svd(E)
     E = u @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ vt2

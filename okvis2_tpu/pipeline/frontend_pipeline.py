@@ -167,6 +167,7 @@ class Frontend:
             desc = jax.vmap(describe_keypoints)(
                 stack, det["xy"], det["size"], det["mask"]
             )
+            signs_np = np.asarray(desc["signs"])  # one bulk transfer
             return [
                 {
                     "xy": np.asarray(det["xy"][ci]),
@@ -174,6 +175,7 @@ class Frontend:
                     "score": np.asarray(det["score"][ci]),
                     "mask": np.asarray(det["mask"][ci]),
                     "signs": desc["signs"][ci],  # device-resident
+                    "signs_np": signs_np[ci],  # host copy for bookkeeping
                     "packed": np.asarray(desc["packed"][ci]),
                 }
                 for ci in range(len(images))
@@ -192,6 +194,7 @@ class Frontend:
                     "score": np.asarray(det["score"]),
                     "mask": np.asarray(det["mask"]),
                     "signs": desc["signs"],  # keep on device for matmuls
+                    "signs_np": np.asarray(desc["signs"]),
                     "packed": np.asarray(desc["packed"]),
                 }
             )
@@ -261,9 +264,7 @@ class Frontend:
                         frames[ci]["xy"][kp], frames[ci]["size"][kp],
                     )
                     # refresh the landmark's descriptor with latest view
-                    self.lm_descriptors[lid] = np.asarray(
-                        frames[ci]["signs"][kp]
-                    )
+                    self.lm_descriptors[lid] = frames[ci]["signs_np"][kp]
                     matched_kp.setdefault(ci, []).append(kp)
                     n_matched_total += 1
 
@@ -372,7 +373,7 @@ class Frontend:
             estimator.add_observation(
                 lid, sid, cj, b, fb["xy"][b], fb["size"][b]
             )
-            self.lm_descriptors[lid] = np.asarray(fa["signs"][a])
+            self.lm_descriptors[lid] = fa["signs_np"][a]
             n_new += 1
         return n_new
 
@@ -451,7 +452,7 @@ class Frontend:
                 estimator.add_observation(
                     lid, sid, ci, b, fb["xy"][b], fb["size"][b]
                 )
-                self.lm_descriptors[lid] = np.asarray(fb["signs"][b])
+                self.lm_descriptors[lid] = fb["signs_np"][b]
                 n_new += 1
         return n_new
 

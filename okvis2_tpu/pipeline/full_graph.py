@@ -84,7 +84,9 @@ class LoopClosureBackend:
         """Register a keyframe for place recognition (reference: DBoW
         database.add of cam0 descriptors)."""
         f0 = frames[0]
-        signs = np.asarray(f0["signs"])
+        signs = f0.get("signs_np")
+        if signs is None:
+            signs = np.asarray(f0["signs"])
         mask = np.asarray(f0["mask"])
         self._kf_data[sid] = {
             "signs": signs,
