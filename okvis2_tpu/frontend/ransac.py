@@ -69,15 +69,22 @@ def _dlt_pose(points_W: jnp.ndarray, rays_C: jnp.ndarray):
     m = _null_vector(A.T @ A)
     R_raw = m[:9].reshape(3, 3)
     t_raw = m[9:12]
-    # project to SO(3) (procrustes), recover scale from the projection
-    u, s, vt2 = jnp.linalg.svd(R_raw)
-    det = jnp.linalg.det(u @ vt2)
-    d = jnp.asarray([1.0, 1.0, 0.0], R_raw.dtype) + jnp.asarray(
-        [0.0, 0.0, 1.0], R_raw.dtype
-    ) * det
-    R = u @ jnp.diag(d) @ vt2
-    scale = jnp.sum(s) / 3.0 * det  # signed scale of the raw estimate
-    t = t_raw / jnp.where(jnp.abs(scale) > 1e-12, scale, 1e-12)
+    # project to SO(3) via Newton polar decomposition (closed-form 3x3
+    # adjugate inverses; batched 3x3 SVD is a slow iterative lowering on
+    # TPU): first fix the sign so det > 0, normalise scale, then iterate
+    # X <- (X + X^-T)/2 which converges quadratically to the orthogonal
+    # polar factor
+    from okvis2_tpu.ops.linalg import inv3x3
+
+    det_raw = jnp.linalg.det(R_raw)
+    sign = jnp.where(det_raw < 0, -1.0, 1.0)
+    scale = sign * jnp.abs(det_raw) ** (1.0 / 3.0)
+    safe_scale = jnp.where(jnp.abs(scale) > 1e-12, scale, 1e-12)
+    X = R_raw / safe_scale
+    for _ in range(5):
+        X = 0.5 * (X + inv3x3(X).T)
+    R = X
+    t = t_raw / safe_scale
     # disambiguate overall sign: points must be mostly in front
     z = (points_W @ R.T + t)[:, 2]
     flip = jnp.sum(jnp.sign(z)) < 0
