@@ -86,6 +86,7 @@ class StateRecord:
     __slots__ = (
         "id", "t", "pose", "speed_bias", "is_keyframe", "in_window",
         "frozen", "is_pose_graph_frame", "imu_w", "imu_a", "imu_dt",
+        "imu_from",
     )
 
     def __init__(self, sid, t, pose, speed_bias):
@@ -97,10 +98,16 @@ class StateRecord:
         self.in_window = True
         self.frozen = False
         self.is_pose_graph_frame = False
-        # raw IMU buffers from previous *window* state to this one
+        # raw IMU buffers spanning from state `imu_from` to this one.
+        # imu_from is the chain invariant that lets every packer verify
+        # link adjacency before building an IMU factor (the reference's
+        # ImuError::append merges exactly adjacent segments,
+        # ViGraphEstimator.cpp:57-157 — a factor over a wrong time span
+        # double-counts gravity/velocity integrals).
         self.imu_w = np.zeros((0, 3))
         self.imu_a = np.zeros((0, 3))
         self.imu_dt = np.zeros((0,))
+        self.imu_from: Optional[int] = None
 
 
 class LandmarkRecord:
@@ -220,6 +227,7 @@ class Estimator:
         rec.imu_w = np.asarray(imu_w, np.float64)
         rec.imu_a = np.asarray(imu_a, np.float64)
         rec.imu_dt = np.asarray(imu_dt, np.float64)
+        rec.imu_from = prev.id
         self.states[sid] = rec
         self.state_order.append(sid)
         self.window.append(sid)
@@ -418,7 +426,10 @@ class Estimator:
         if cfg.use_imu:
             for i in range(n_win - 1):
                 nxt = self.states[win[i + 1]]
-                if len(nxt.imu_dt):
+                # chain check: the buffer must span exactly win[i]->win[i+1]
+                # (a mid-window drop can break adjacency; such a link would
+                # integrate the wrong time span, so mask it off)
+                if len(nxt.imu_dt) and nxt.imu_from == win[i]:
                     pres.append((i, self._get_preintegrated(win[i + 1])))
                     imu_mask[i] = True
         imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)
@@ -615,14 +626,35 @@ class Estimator:
             for lm in self.landmarks.values():
                 for key in [k for k in lm.obs if k[0] == sid]:
                     del lm.obs[key]
-            # merge IMU buffers into successor
-            nxt.imu_w = np.concatenate([rec.imu_w, nxt.imu_w])
-            nxt.imu_a = np.concatenate([rec.imu_a, nxt.imu_a])
-            nxt.imu_dt = np.concatenate([rec.imu_dt, nxt.imu_dt])
-            self._pre_cache.pop(nxt.id, None)
+            self._merge_imu_into_successor(sid, nxt)
             self._pre_cache.pop(sid, None)
             rec.in_window = False
             self.window.remove(sid)
+
+    def _merge_imu_into_successor(self, sid: int, nxt: StateRecord):
+        """Merge state sid's IMU buffer into its chain successor and CLEAR
+        sid's own buffer — otherwise sid still "owns" the first half of the
+        segment and a later full-graph / final-BA pack double-integrates
+        the overlap (reference semantics: ImuError::append consumes the
+        eliminated segment, ViGraphEstimator.cpp:57-157)."""
+        rec = self.states[sid]
+        if nxt.imu_from != sid:
+            # chain already broken (e.g. after re-initialisation): nothing
+            # to merge; just drop sid's buffer so no packer can misuse it
+            rec.imu_w = np.zeros((0, 3))
+            rec.imu_a = np.zeros((0, 3))
+            rec.imu_dt = np.zeros((0,))
+            rec.imu_from = None
+            return
+        nxt.imu_w = np.concatenate([rec.imu_w, nxt.imu_w])
+        nxt.imu_a = np.concatenate([rec.imu_a, nxt.imu_a])
+        nxt.imu_dt = np.concatenate([rec.imu_dt, nxt.imu_dt])
+        nxt.imu_from = rec.imu_from
+        rec.imu_w = np.zeros((0, 3))
+        rec.imu_a = np.zeros((0, 3))
+        rec.imu_dt = np.zeros((0,))
+        rec.imu_from = None
+        self._pre_cache.pop(nxt.id, None)
 
     def _convert_keyframes_to_pose_graph(self, max_convert: int = 3):
         """Turn the least-covisible excess keyframes into pose-graph frames
@@ -783,18 +815,36 @@ class Estimator:
                 for lm in self.landmarks.values()
             )
             if not partners_unfrozen and not has_obs:
-                rec.in_window = False
-                self.window.remove(sid)
+                self._drop_from_window(sid)
         # hard cap: force-drop oldest frozen states beyond capacity
         while len(self.window) > cfg.window_slots:
             for sid in self.window:
                 if self.states[sid].frozen:
-                    self.states[sid].in_window = False
-                    self.window.remove(sid)
+                    self._drop_from_window(sid)
                     break
             else:
                 # nothing frozen to drop: freeze the oldest
                 self.states[self.window[0]].frozen = True
+
+    def _drop_from_window(self, sid: int):
+        """Remove a state from the window keeping the IMU chain sound.
+        States that vanish from every graph (plain IMU frames) get their
+        buffer merged into the window successor; keyframes / pose-graph
+        frames stay in the full graph, so they keep their buffer and the
+        realtime pack simply masks the now non-adjacent link."""
+        rec = self.states[sid]
+        idx = self.window.index(sid)
+        if (
+            not rec.is_keyframe
+            and not rec.is_pose_graph_frame
+            and 0 < idx < len(self.window) - 1
+        ):
+            self._merge_imu_into_successor(
+                sid, self.states[self.window[idx + 1]]
+            )
+        self._pre_cache.pop(sid, None)
+        rec.in_window = False
+        self.window.remove(sid)
 
     # ------------------------------------------------------------------
     def get_pose(self, sid: int) -> np.ndarray:

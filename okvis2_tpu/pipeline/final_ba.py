@@ -109,7 +109,11 @@ def pack_full_ba_problem(
     imu_mask = np.zeros(S - 1, bool)
     for i in range(len(ids) - 1):
         nxt = estimator.states[ids[i + 1]]
-        if len(nxt.imu_dt):
+        # chain-adjacency check: the buffer on ids[i+1] must span exactly
+        # ids[i] -> ids[i+1] (eliminated frames cleared their buffers, so
+        # with intact chaining this always holds; a reinitialisation gap
+        # is masked off instead of double-integrated)
+        if len(nxt.imu_dt) and nxt.imu_from == ids[i]:
             pre = estimator._get_preintegrated(ids[i + 1])
             imu_pre = jax.tree_util.tree_map(
                 lambda full, one: _set_row(full, i, one), imu_pre, pre

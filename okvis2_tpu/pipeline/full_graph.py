@@ -269,9 +269,10 @@ class LoopClosureBackend:
         imu_mask = np.zeros(S - 1, bool)
         for i in range(len(ids) - 1):
             nxt = estimator.states[ids[i + 1]]
-            # the buffer on ids[i+1] spans from its predecessor in the
-            # estimator's chain; valid if that predecessor is ids[i]
-            if len(nxt.imu_dt):
+            # the buffer on ids[i+1] spans from state nxt.imu_from; only
+            # build a factor when that is exactly ids[i] (a factor over a
+            # different span would double-count the IMU integrals)
+            if len(nxt.imu_dt) and nxt.imu_from == ids[i]:
                 pre = estimator._get_preintegrated(ids[i + 1])
                 imu_pre = jax.tree_util.tree_map(
                     lambda full, one: _set_row(full, i, one), imu_pre, pre

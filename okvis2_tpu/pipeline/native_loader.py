@@ -22,8 +22,17 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libokvis2_native.so")
 
 
 def _ensure_built() -> Optional[str]:
+    # rebuild when any source is newer than the binary so a stale .so
+    # can't shadow changes to dataloader.cpp
     if os.path.exists(_LIB_PATH):
-        return _LIB_PATH
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        stale = any(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, f)) > lib_mtime
+            for f in os.listdir(_NATIVE_DIR)
+            if f.endswith((".cpp", ".hpp", ".h")) or f == "Makefile"
+        )
+        if not stale:
+            return _LIB_PATH
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR],

@@ -100,11 +100,18 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _gather_imu(self, t0: Optional[float], t1: float):
-        """Pop IMU measurements in (t0, t1], trapezoid-average them into
-        per-interval segments (ThreadedSlam.cpp:276-341 equivalent)."""
-        meas = [m for m in self._imu_queue if t0 is None or m[0] > t0]
-        meas = [m for m in meas if m[0] <= t1 + 0.005]
-        # drop consumed entries older than t1 - small overlap
+        """Build the trapezoid IMU segment spanning exactly [t0, t1]:
+        boundary measurements are linearly interpolated at the state
+        timestamps like the reference (ImuError.cpp:318-334), so the
+        preintegrated span matches the camera timestamps instead of being
+        shifted by up to one IMU period (ThreadedSlam.cpp:276-341 role)."""
+        # keep one sample beyond each boundary for interpolation
+        meas = [
+            m for m in self._imu_queue
+            if (t0 is None or m[0] > t0 - 0.05) and m[0] <= t1 + 0.05
+        ]
+        # drop consumed entries well before t1 (keep overlap for the next
+        # segment's left-boundary interpolation)
         while self._imu_queue and self._imu_queue[0][0] < t1 - 0.5:
             self._imu_queue.popleft()
         if len(meas) < 2:
@@ -112,9 +119,27 @@ class SlamSystem:
         ts = np.asarray([m[0] for m in meas])
         acc = np.stack([m[1] for m in meas])
         gyr = np.stack([m[2] for m in meas])
-        w_avg = 0.5 * (gyr[:-1] + gyr[1:])
-        a_avg = 0.5 * (acc[:-1] + acc[1:])
-        dt = np.diff(ts)
+        if t0 is None:
+            # first frame: raw averages up to t1 (only used for the
+            # gravity-alignment initial pose)
+            sel = ts <= t1 + 0.005
+            ts, acc, gyr = ts[sel], acc[sel], gyr[sel]
+            if len(ts) < 2:
+                return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0,))
+            w_avg = 0.5 * (gyr[:-1] + gyr[1:])
+            a_avg = 0.5 * (acc[:-1] + acc[1:])
+            dt = np.diff(ts)
+            keep = dt > 0
+            return w_avg[keep], a_avg[keep], dt[keep]
+        # sample times: t0, interior measurements, t1 (np.interp clamps to
+        # the edge values outside the measured range)
+        interior = ts[(ts > t0) & (ts < t1)]
+        tq = np.concatenate([[t0], interior, [t1]])
+        g_at = np.stack([np.interp(tq, ts, gyr[:, i]) for i in range(3)], -1)
+        a_at = np.stack([np.interp(tq, ts, acc[:, i]) for i in range(3)], -1)
+        w_avg = 0.5 * (g_at[:-1] + g_at[1:])
+        a_avg = 0.5 * (a_at[:-1] + a_at[1:])
+        dt = np.diff(tq)
         keep = dt > 0
         return w_avg[keep], a_avg[keep], dt[keep]
 
