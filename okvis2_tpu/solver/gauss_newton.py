@@ -101,20 +101,20 @@ def _other_residuals(problem: WindowProblem, imu_params: ImuParameters):
     """IMU-link, prior and relative-pose residuals, stacked per group."""
     S = problem.S
 
-    # IMU links s -> s+1
+    # IMU links imu_i[k] -> imu_j[k]
     def imu_one(pre, p0, sb0, p1, sb1, m):
         r = imu_residual(imu_params, pre, _T(p0), sb0, _T(p1), sb1)
         return jnp.where(m, r, 0.0)
 
     r_imu = jax.vmap(imu_one)(
         problem.imu_pre,
-        problem.pose[:-1],
-        problem.speed_bias[:-1],
-        problem.pose[1:],
-        problem.speed_bias[1:],
+        problem.pose[problem.imu_i],
+        problem.speed_bias[problem.imu_i],
+        problem.pose[problem.imu_j],
+        problem.speed_bias[problem.imu_j],
         problem.imu_mask
-        & problem.state_mask[:-1]
-        & problem.state_mask[1:],
+        & problem.state_mask[problem.imu_i]
+        & problem.state_mask[problem.imu_j],
     )  # [S-1,15]
 
     def pp_one(p, prior, sq, m):
@@ -318,19 +318,20 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
 
     r_imu, (Ji_p0, Ji_s0, Ji_p1, Ji_s1) = jax.vmap(imu_val_jac)(
         problem.imu_pre,
-        problem.pose[:-1], problem.speed_bias[:-1],
-        problem.pose[1:], problem.speed_bias[1:],
+        problem.pose[problem.imu_i], problem.speed_bias[problem.imu_i],
+        problem.pose[problem.imu_j], problem.speed_bias[problem.imu_j],
     )
     m_imu = (
-        problem.imu_mask & problem.state_mask[:-1] & problem.state_mask[1:]
+        problem.imu_mask
+        & problem.state_mask[problem.imu_i]
+        & problem.state_mask[problem.imu_j]
     )
     fi = m_imu[:, None].astype(dtype)
     r_imu = r_imu * fi
     fim = m_imu[:, None, None].astype(dtype)
 
-    idx = jnp.arange(S - 1)
-    oh0 = jax.nn.one_hot(idx, S, dtype=dtype)  # [S-1,S]
-    oh1 = jax.nn.one_hot(idx + 1, S, dtype=dtype)
+    oh0 = jax.nn.one_hot(problem.imu_i, S, dtype=dtype)  # [S-1,S]
+    oh1 = jax.nn.one_hot(problem.imu_j, S, dtype=dtype)
     Jx_imu = jnp.concatenate(
         [
             (jnp.einsum("kij,ks->kisj", Ji_p0 * fim, oh0)

@@ -1,0 +1,119 @@
+"""Flat-packed window solve: 2 host->device transfers per frame.
+
+Round-1 profiling on the axon-tunnelled TPU showed `Estimator.optimise`
+dominated by per-field transfers and dispatches: `pack()` uploaded ~30
+separate arrays every frame and `unpack()` fetched several more, each
+paying the tunnel's per-transfer latency. Here the host packs the ENTIRE
+WindowProblem into two preallocated flat buffers (one float, one int32)
+and a single jitted program slices/reshapes them back (free in XLA),
+runs the LM solve, and returns only the small solved outputs
+(pose/speed_bias/landmarks/extrinsics + stats).
+
+The layout is derived mechanically from the problem pytree, so any
+future WindowProblem field is handled automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from okvis2_tpu.solver.gauss_newton import solve_window_impl
+from okvis2_tpu.solver.window_problem import SolverConfig, WindowProblem
+
+
+class PackedLayout:
+    """Flat-buffer layout for a fixed-capacity WindowProblem.
+
+    Floats (any float dtype) go into one buffer, ints+bools into an int32
+    buffer, in pytree-flatten order. Hashable by capacity signature so it
+    can be a static jit argument.
+    """
+
+    def __init__(self, S, L, O, NC, R, imu_capacity, dtype=None):
+        self.key = (S, L, O, NC, R, imu_capacity)
+        template = jax.eval_shape(
+            lambda: WindowProblem.empty(S, L, O, NC, imu_capacity,
+                                        num_rel=R, dtype=dtype)
+        )
+        leaves, self.treedef = jax.tree_util.tree_flatten(template)
+        self.specs = []  # (kind, offset, size, shape, dtype)
+        off_f = 0
+        off_i = 0
+        for leaf in leaves:
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                self.specs.append(("f", off_f, n, leaf.shape, leaf.dtype))
+                off_f += n
+            else:
+                self.specs.append(("i", off_i, n, leaf.shape, leaf.dtype))
+                off_i += n
+        self.n_float = off_f
+        self.n_int = off_i
+        self.float_dtype = np.float64 if jax.config.jax_enable_x64 \
+            else np.float32
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        return isinstance(other, PackedLayout) and self.key == other.key
+
+    # ---------------- host side ----------------
+    def make_buffers(self) -> Tuple[np.ndarray, np.ndarray]:
+        return (
+            np.zeros(self.n_float, self.float_dtype),
+            np.zeros(self.n_int, np.int32),
+        )
+
+    def fill(self, buf_f: np.ndarray, buf_i: np.ndarray, problem_np):
+        """Copy a WindowProblem whose leaves are numpy arrays into the
+        flat buffers (in place)."""
+        leaves = jax.tree_util.tree_leaves(problem_np)
+        for (kind, off, n, shape, _), leaf in zip(self.specs, leaves):
+            a = np.asarray(leaf)
+            if kind == "f":
+                buf_f[off:off + n] = a.ravel()
+            else:
+                buf_i[off:off + n] = a.ravel().astype(np.int32)
+
+    # ---------------- device side (traced) ----------------
+    def unflatten(self, flat_f: jnp.ndarray, flat_i: jnp.ndarray) -> WindowProblem:
+        leaves = []
+        for kind, off, n, shape, dtype in self.specs:
+            if kind == "f":
+                x = jax.lax.dynamic_slice_in_dim(flat_f, off, n)
+                x = x.reshape(shape).astype(dtype)
+            else:
+                x = jax.lax.dynamic_slice_in_dim(flat_i, off, n)
+                x = x.reshape(shape).astype(dtype)
+            leaves.append(x)
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layout", "config"), donate_argnums=(0, 1)
+)
+def solve_packed(
+    flat_f: jnp.ndarray,
+    flat_i: jnp.ndarray,
+    cameras,
+    imu_params,
+    layout: PackedLayout,
+    config: SolverConfig,
+):
+    """One dispatch: unflatten -> LM solve -> small outputs only."""
+    problem = layout.unflatten(flat_f, flat_i)
+    solved, stats = solve_window_impl(problem, cameras, imu_params, config)
+    return (
+        solved.pose,
+        solved.speed_bias,
+        solved.landmarks,
+        solved.extrinsics,
+        stats,
+    )

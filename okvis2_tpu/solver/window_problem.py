@@ -71,8 +71,14 @@ class WindowProblem:
     obs_uv: jnp.ndarray  # [O,2]
     obs_sqrt_info: jnp.ndarray  # [O] scalar whitening (8/keypoint_size)
     obs_mask: jnp.ndarray  # [O] bool
-    # --- IMU links (slot s connects state s -> s+1) -----------------------
+    # --- IMU links (link k connects state imu_i[k] -> imu_j[k]) -----------
+    # Explicit endpoint indices (rather than consecutive slots) keep state
+    # slots STABLE across frames: the device-resident window can reuse a
+    # departed state's slot for a new state without renumbering any other
+    # row — no re-upload of the whole problem per frame.
     imu_pre: Preintegrated  # batched [S-1, ...]
+    imu_i: jnp.ndarray  # [S-1] int32 source state slot
+    imu_j: jnp.ndarray  # [S-1] int32 target state slot
     imu_mask: jnp.ndarray  # [S-1] bool
     # --- priors -----------------------------------------------------------
     pose_prior: jnp.ndarray  # [S,7]
@@ -97,7 +103,7 @@ class WindowProblem:
         "pose", "speed_bias", "extrinsics", "landmarks",
         "state_mask", "pose_frozen", "sb_frozen", "ext_frozen", "lm_mask",
         "obs_state", "obs_cam", "obs_lm", "obs_uv", "obs_sqrt_info",
-        "obs_mask", "imu_pre", "imu_mask",
+        "obs_mask", "imu_pre", "imu_i", "imu_j", "imu_mask",
         "pose_prior", "pose_prior_sqrt", "pose_prior_mask",
         "sb_prior", "sb_prior_sqrt", "sb_prior_mask",
         "rel_i", "rel_j", "rel_T", "rel_sqrt", "rel_mask",
@@ -189,6 +195,8 @@ class WindowProblem:
             obs_sqrt_info=jnp.ones((O,), dtype),
             obs_mask=jnp.zeros((O,), bool),
             imu_pre=pre,
+            imu_i=jnp.arange(S - 1, dtype=jnp.int32),
+            imu_j=jnp.arange(1, S, dtype=jnp.int32),
             imu_mask=jnp.zeros((S - 1,), bool),
             pose_prior=ident7,
             pose_prior_sqrt=_z((S, 6, 6), dtype),
