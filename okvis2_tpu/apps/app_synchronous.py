@@ -50,6 +50,9 @@ def main(argv=None):
         num_imu_frames=params.estimator.num_imu_frames,
         num_loop_closure_frames=params.estimator.num_loop_closure_frames,
         realtime_iterations=params.estimator.realtime_max_iterations,
+        online_extrinsics=params.camera_rig.online_extrinsics,
+        ext_sigma_r=params.camera_rig.sigma_r,
+        ext_sigma_alpha=params.camera_rig.sigma_alpha,
     )
     fe_cfg = FrontendConfig(
         detection=DetectionConfig(
@@ -86,6 +89,12 @@ def main(argv=None):
                       flush=True)
             if args.max_frames and n >= args.max_frames:
                 break
+
+    if args.final_ba:
+        # offline final bundle adjustment (doFinalBa,
+        # okvis_ceres/src/ViSlamBackend.cpp:1759-1892)
+        info = slam.do_final_ba()
+        print(f"final BA: {info}")
 
     # final trajectory from the estimator's full history (non-causal)
     final = [

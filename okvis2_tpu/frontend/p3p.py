@@ -232,10 +232,7 @@ def p3p_lambda_twist(x_W: jnp.ndarray, y_C: jnp.ndarray):
     return Rs, ts, valid
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_hyp", "min_inliers")
-)
-def ransac_rig_pose(
+def ransac_rig_pose_impl(
     key,
     pts_W: jnp.ndarray,  # [N,3] landmark positions
     rays_C: jnp.ndarray,  # [N,3] unit bearings in each obs's OWN camera
@@ -312,3 +309,8 @@ def ransac_rig_pose(
         "num_inliers": n_in,
         "ok": n_in >= min_inliers,
     }
+
+
+ransac_rig_pose = jax.jit(
+    ransac_rig_pose_impl, static_argnames=("n_hyp", "min_inliers")
+)

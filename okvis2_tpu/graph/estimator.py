@@ -42,7 +42,6 @@ from okvis2_tpu.imu.preintegration import (
     ImuParameters,
     init_pose_from_accel,
     preintegrate,
-    propagate_state,
 )
 from okvis2_tpu.solver.gauss_newton import solve_window
 from okvis2_tpu.solver.window_problem import SolverConfig, WindowProblem
@@ -80,6 +79,13 @@ class EstimatorConfig:
     min_parallax_quality: float = 1e-3
     # bias deviation triggering IMU re-preintegration (ImuError.cpp:~865)
     bias_redo_threshold: float = 0.1
+    # online extrinsics calibration (reference OnlineCalibrationParameters
+    # do_extrinsics + sigma_r/sigma_alpha priors, Parameters.hpp:57-100;
+    # exercised by the Hilti configs): extrinsics become variable blocks
+    # anchored by a pose prior at the CAD/config values
+    online_extrinsics: bool = False
+    ext_sigma_r: float = 0.01
+    ext_sigma_alpha: float = 0.05
 
 
 class StateRecord:
@@ -153,6 +159,8 @@ class Estimator:
         self.cameras = tuple(cameras)
         self.T_SC = [np.concatenate([np.asarray(T.r), np.asarray(T.q)])
                      for T in extrinsics]
+        # config/CAD extrinsics: the anchor for online-calibration priors
+        self.T_SC_prior = [row.copy() for row in self.T_SC]
         self.imu_params = imu_params
         self.cfg = config
         self.states: Dict[int, StateRecord] = {}
@@ -196,30 +204,15 @@ class Estimator:
             return sid
 
         prev = self.states[self.window[-1]]
-        # propagate for the initial guess
-        T_prev = Transformation(
-            r=jnp.asarray(prev.pose[:3]), q=jnp.asarray(prev.pose[3:7])
-        )
+        # propagate for the initial guess — pure numpy on the host: a
+        # device call + readback costs ~100 ms over the TPU tunnel
         if len(imu_dt):
-            # pad to a fixed capacity: variable measurement counts would
-            # recompile the propagation program every frame (dt=0 rows
-            # are exact no-ops in the scan)
-            cap = 64
-            while cap < len(imu_dt):
-                cap *= 2
-            wp = np.zeros((cap, 3)); wp[: len(imu_dt)] = imu_w
-            ap = np.zeros((cap, 3)); ap[: len(imu_dt)] = imu_a
-            dtp = np.zeros(cap); dtp[: len(imu_dt)] = imu_dt
-            T1, sb1 = propagate_state(
-                self.imu_params,
-                T_prev,
-                jnp.asarray(prev.speed_bias),
-                jnp.asarray(wp),
-                jnp.asarray(ap),
-                jnp.asarray(dtp),
+            from okvis2_tpu.imu.preintegration import propagate_state_np
+
+            pose, sb = propagate_state_np(
+                float(self.imu_params.g), prev.pose, prev.speed_bias,
+                np.asarray(imu_w), np.asarray(imu_a), np.asarray(imu_dt),
             )
-            pose = np.concatenate([np.asarray(T1.r), np.asarray(T1.q)])
-            sb = np.asarray(sb1)
         else:
             pose = prev.pose.copy()
             sb = prev.speed_bias.copy()
@@ -338,18 +331,11 @@ class Estimator:
             n = len(dtb)
         else:
             wb, ab, dtb = rec.imu_w, rec.imu_a, rec.imu_dt
-        w_pad = np.zeros((cap, 3)); w_pad[:n] = wb
-        a_pad = np.zeros((cap, 3)); a_pad[:n] = ab
-        dt_pad = np.zeros((cap,)); dt_pad[:n] = dtb
-        pre = preintegrate(
-            self.imu_params,
-            jnp.asarray(w_pad),
-            jnp.asarray(a_pad),
-            jnp.asarray(dt_pad),
-            jnp.asarray(bg),
-            jnp.asarray(ba),
-        )
-        pre = jax.tree_util.tree_map(np.asarray, pre)
+        # host numpy preintegration: a device dispatch + per-leaf readback
+        # costs ~100 ms over the TPU tunnel for a ~10-sample segment
+        from okvis2_tpu.imu.preintegration import preintegrate_np
+
+        pre = preintegrate_np(self.imu_params, wb, ab, dtb, bg, ba)
         self._pre_cache[sid] = (
             np.concatenate([bg, ba]), pre, len(rec.imu_dt)
         )
@@ -369,12 +355,33 @@ class Estimator:
         scored.sort(reverse=True)
         return [lid for _, lid in scored[: self.cfg.landmark_slots]]
 
+    def _np_template(self) -> WindowProblem:
+        """A WindowProblem with NUMPY leaves at this estimator's
+        capacities (cached): building the scaffold on host avoids ~30
+        device allocations + fetches per frame that WindowProblem.empty
+        would cost over the TPU tunnel."""
+        cached = getattr(self, "_np_template_cache", None)
+        if cached is None:
+            cfg = self.cfg
+            prob = WindowProblem.empty(
+                cfg.window_slots, cfg.landmark_slots, cfg.obs_slots,
+                len(self.cameras), cfg.imu_seg_capacity,
+                num_rel=cfg.rel_slots,
+            )
+            cached = jax.tree_util.tree_map(np.asarray, prob)
+            self._np_template_cache = cached
+        return jax.tree_util.tree_map(np.copy, cached)
+
     def pack(self) -> WindowProblem:
+        """Device-array problem (compat path for tests/tools); the hot
+        path uses pack_np + the flat-packed single-dispatch solve."""
+        return jax.tree_util.tree_map(jnp.asarray, self.pack_np())
+
+    def pack_np(self) -> WindowProblem:
         cfg = self.cfg
         S, L, O = cfg.window_slots, cfg.landmark_slots, cfg.obs_slots
         NC = len(self.cameras)
-        prob = WindowProblem.empty(S, L, O, NC, cfg.imu_seg_capacity,
-                                   num_rel=cfg.rel_slots)
+        prob = self._np_template()
         win = self.window[-S:]
         slot_of = {sid: i for i, sid in enumerate(win)}
         n_win = len(win)
@@ -472,22 +479,21 @@ class Estimator:
         k = 0
         if not cfg.use_imu:
             # PseudoImuError-style weak chaining of consecutive states so
-            # the vision-only problem stays connected and damped
-            from okvis2_tpu.core import so3 as _so3
-
+            # the vision-only problem stays connected and damped (pure
+            # numpy: eager device ops here would cost a tunnel roundtrip
+            # per state pair per frame)
             for i in range(n_win - 1):
                 if k >= R:
                     break
                 pa = self.states[win[i]].pose
                 pb = self.states[win[i + 1]].pose
-                qa = jnp.asarray(pa[3:7])
-                dq = _so3.quat_multiply(_so3.quat_conjugate(qa),
-                                        jnp.asarray(pb[3:7]))
-                Ca = np.asarray(_so3.quat_to_matrix(qa))
+                qa = pa[3:7]
+                dq = _quat_mul_np(_quat_conj_np(qa), pb[3:7])
+                Ca = _quat_to_mat_np(qa)
                 dr = Ca.T @ (pb[:3] - pa[:3])
                 r_i[k] = i
                 r_j[k] = i + 1
-                r_T[k] = np.concatenate([dr, np.asarray(dq)])
+                r_T[k] = np.concatenate([dr, dq])
                 r_sq[k] = np.diag([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
                 r_m[k] = True
                 k += 1
@@ -500,35 +506,53 @@ class Estimator:
                 r_m[k] = True
                 k += 1
 
+        # online extrinsics: unfreeze T_SC blocks, anchored by priors at
+        # the config values with sigma_r/sigma_alpha whitening
+        ext_froz = np.ones(NC, bool)
+        ep_T = np.stack(self.T_SC_prior)
+        ep_sq = np.zeros((NC, 6, 6))
+        ep_m = np.zeros(NC, bool)
+        if cfg.online_extrinsics:
+            ext_froz[:] = False
+            ep_sq[:] = np.diag(
+                [1.0 / cfg.ext_sigma_r] * 3
+                + [1.0 / cfg.ext_sigma_alpha] * 3
+            )
+            ep_m[:] = True
+
         prob = dataclasses.replace(
             prob,
-            pose=jnp.asarray(pose),
-            speed_bias=jnp.asarray(sb),
-            extrinsics=jnp.asarray(np.stack(self.T_SC)),
-            landmarks=jnp.asarray(lms),
-            state_mask=jnp.asarray(smask),
-            pose_frozen=jnp.asarray(pfroz),
-            sb_frozen=jnp.asarray(sbfroz),
-            lm_mask=jnp.asarray(lmask),
-            obs_state=jnp.asarray(o_state),
-            obs_cam=jnp.asarray(o_cam),
-            obs_lm=jnp.asarray(o_lm),
-            obs_uv=jnp.asarray(o_uv),
-            obs_sqrt_info=jnp.asarray(o_w),
-            obs_mask=jnp.asarray(o_mask),
-            imu_pre=jax.tree_util.tree_map(jnp.asarray, imu_pre),
-            imu_mask=jnp.asarray(imu_mask),
-            pose_prior=jnp.asarray(pp_T),
-            pose_prior_sqrt=jnp.asarray(pp_sq),
-            pose_prior_mask=jnp.asarray(pp_m),
-            sb_prior=jnp.asarray(sb_p),
-            sb_prior_sqrt=jnp.asarray(sb_sq),
-            sb_prior_mask=jnp.asarray(sb_m),
-            rel_i=jnp.asarray(r_i),
-            rel_j=jnp.asarray(r_j),
-            rel_T=jnp.asarray(r_T),
-            rel_sqrt=jnp.asarray(r_sq),
-            rel_mask=jnp.asarray(r_m),
+            pose=pose,
+            speed_bias=sb,
+            extrinsics=np.stack(self.T_SC),
+            ext_frozen=ext_froz,
+            ext_prior=ep_T,
+            ext_prior_sqrt=ep_sq,
+            ext_prior_mask=ep_m,
+            landmarks=lms,
+            state_mask=smask,
+            pose_frozen=pfroz,
+            sb_frozen=sbfroz,
+            lm_mask=lmask,
+            obs_state=o_state,
+            obs_cam=o_cam,
+            obs_lm=o_lm,
+            obs_uv=o_uv,
+            obs_sqrt_info=o_w,
+            obs_mask=o_mask,
+            imu_pre=imu_pre,
+            imu_mask=imu_mask,
+            pose_prior=pp_T,
+            pose_prior_sqrt=pp_sq,
+            pose_prior_mask=pp_m,
+            sb_prior=sb_p,
+            sb_prior_sqrt=sb_sq,
+            sb_prior_mask=sb_m,
+            rel_i=r_i,
+            rel_j=r_j,
+            rel_T=r_T,
+            rel_sqrt=r_sq,
+            rel_mask=r_m,
         )
         self._lm_ids = lm_ids
         self._slot_of = slot_of
@@ -547,11 +571,18 @@ class Estimator:
             self.landmarks[lid].hp_W = lms[i]
 
     # ------------------------------------------------------------------
-    def optimise(self, iterations: Optional[int] = None) -> dict:
-        """optimiseRealtimeGraph (ViSlamBackend.cpp:712-886)."""
+    def optimise_async(self, iterations: Optional[int] = None) -> None:
+        """Dispatch optimiseRealtimeGraph (ViSlamBackend.cpp:712-886)
+        WITHOUT blocking: host packs the whole problem into two flat
+        buffers, the solve runs as ONE device dispatch, and the outputs
+        start copying back asynchronously. `apply_pending_solve()` (next
+        frame) integrates the results — the same one-frame overlap the
+        reference gets from its optimisation thread (P3,
+        ThreadedSlam.cpp:466-469, 551-552)."""
         import time as _time
 
-        prob = self.pack()
+        from okvis2_tpu.solver.packed_solve import PackedLayout, solve_packed
+
         cfg = self._solver_cfg
         if iterations is None and self.cfg.enforce_realtime:
             # realtime budget: drop to the min-iteration program when the
@@ -560,15 +591,69 @@ class Estimator:
                 iterations = self.cfg.realtime_min_iterations
         if iterations is not None and iterations != cfg.max_iterations:
             cfg = dataclasses.replace(cfg, max_iterations=iterations)
-        t0 = _time.perf_counter()
-        solved, stats = solve_window(prob, self.cameras, self.imu_params, cfg)
-        import jax as _jax
 
-        _jax.block_until_ready(solved.pose)
-        self._last_solve_wall = _time.perf_counter() - t0
-        self.unpack(solved)
+        layout = getattr(self, "_packed_layout", None)
+        if layout is None:
+            c = self.cfg
+            layout = PackedLayout(
+                c.window_slots, c.landmark_slots, c.obs_slots,
+                len(self.cameras), c.rel_slots, c.imu_seg_capacity,
+            )
+            self._packed_layout = layout
+            self._packed_bufs = layout.make_buffers()
+        buf_f, buf_i = self._packed_bufs
+
+        prob_np = self.pack_np()
+        layout.fill(buf_f, buf_i, prob_np)
+        self._solve_t0 = _time.perf_counter()
+        out = solve_packed(
+            buf_f, buf_i, self.cameras, self.imu_params, layout, cfg
+        )
+        # start the device->host copy now so that by the time
+        # apply_pending_solve blocks, the single flat output has already
+        # crossed the tunnel (a cold readback costs ~60 ms)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        self._pending_solve = (out, dict(self._slot_of), list(self._lm_ids))
+
+    def apply_pending_solve(self) -> Optional[dict]:
+        """Integrate the results of the previous `optimise_async`.
+        Returns the solve stats, or None if no solve is pending."""
+        import time as _time
+
+        from okvis2_tpu.solver.packed_solve import decode_solved
+
+        pending = getattr(self, "_pending_solve", None)
+        if pending is None:
+            return None
+        (out, slot_of, lm_ids) = pending
+        self._pending_solve = None
+        pose, sb, lms, ext, stats = decode_solved(
+            out, self.cfg.window_slots, self.cfg.landmark_slots,
+            len(self.cameras),
+        )
+        self._last_solve_wall = _time.perf_counter() - self._solve_t0
+        for sid, i in slot_of.items():
+            rec = self.states.get(sid)
+            if rec is not None and not rec.frozen:
+                rec.pose = np.asarray(pose[i], np.float64)
+                rec.speed_bias = np.asarray(sb[i], np.float64)
+        for i, lid in enumerate(lm_ids):
+            lm = self.landmarks.get(lid)
+            if lm is not None:
+                lm.hp_W = np.asarray(lms[i], np.float64)
+        if self.cfg.online_extrinsics:
+            self.T_SC = [np.asarray(ext[i], np.float64)
+                         for i in range(len(self.T_SC))]
         self.update_landmark_quality()
-        return {k: np.asarray(v) for k, v in stats.items()}
+        return stats
+
+    def optimise(self, iterations: Optional[int] = None) -> dict:
+        """Synchronous solve (dispatch + apply): the offline/test path."""
+        self.optimise_async(iterations)
+        return self.apply_pending_solve()
 
     # ------------------------------------------------------------------
     def update_landmark_quality(self):
@@ -576,28 +661,44 @@ class Estimator:
         ViGraph.cpp:775-855: quality = sqrt of smallest eigenvalue of the
         summed direction outer products; initialise when > threshold)."""
         window = set(self.window)
-        for lm in self.landmarks.values():
-            if lm.initialised:
-                # quality only gates initialisation; once initialised the
-                # landmark stays (matches the reference's one-way switch)
-                continue
-            dirs = []
-            p = lm.hp_W[:3] / (lm.hp_W[3] if abs(lm.hp_W[3]) > 1e-12 else 1e-12)
-            for (sid, ci, _kp) in lm.obs:
-                if sid not in window:
-                    continue
-                rec = self.states[sid]
-                d = p - rec.pose[:3]
-                n = np.linalg.norm(d)
-                if n > 1e-9:
-                    dirs.append(d / n)
-            if len(dirs) >= 2:
-                Dm = np.stack(dirs)
-                M = Dm.T @ Dm / len(dirs)
-                ev = np.linalg.eigvalsh(M)
-                lm.quality = float(np.sqrt(max(ev[0], 0.0)))
-                if lm.quality > self.cfg.min_parallax_quality:
-                    lm.initialised = True
+        # quality only gates initialisation; once initialised the landmark
+        # stays (matches the reference's one-way switch) — so only
+        # uninitialised landmarks are scored, with ONE batched eigvalsh
+        cand = [lm for lm in self.landmarks.values() if not lm.initialised]
+        if not cand:
+            return
+        ks, ps, cs = [], [], []
+        for k, lm in enumerate(cand):
+            w = lm.hp_W[3] if abs(lm.hp_W[3]) > 1e-12 else 1e-12
+            p = lm.hp_W[:3] / w
+            for (sid, _ci, _kp) in lm.obs:
+                if sid in window:
+                    ks.append(k)
+                    ps.append(p)
+                    cs.append(self.states[sid].pose[:3])
+        if not ks:
+            return
+        ks = np.asarray(ks)
+        d = np.asarray(ps) - np.asarray(cs)
+        n = np.linalg.norm(d, axis=-1)
+        keep = n > 1e-9
+        ks, d, n = ks[keep], d[keep], n[keep]
+        D = d / n[:, None]
+        K = len(cand)
+        M = np.zeros((K, 3, 3))
+        np.add.at(M, ks, D[:, :, None] * D[:, None, :])
+        count = np.bincount(ks, minlength=K)
+        scored = count >= 2
+        if not scored.any():
+            return
+        M_s = M[scored] / count[scored, None, None]
+        ev = np.linalg.eigvalsh(M_s)
+        quality = np.sqrt(np.maximum(ev[:, 0], 0.0))
+        for q, k in zip(quality, np.nonzero(scored)[0]):
+            lm = cand[k]
+            lm.quality = float(q)
+            if lm.quality > self.cfg.min_parallax_quality:
+                lm.initialised = True
 
     # ------------------------------------------------------------------
     # marginalisation (applyStrategy, ViSlamBackend.cpp:451-710)
@@ -860,3 +961,29 @@ def _set_row(full: np.ndarray, i: int, one: np.ndarray) -> np.ndarray:
     full = np.asarray(full).copy()
     full[i] = np.asarray(one)
     return full
+
+
+# -- numpy quaternion helpers (xyzw, Eigen convention like core/so3) --
+# host bookkeeping must not issue eager device ops: over the TPU tunnel
+# every op is a ~ms roundtrip
+
+def _quat_conj_np(q: np.ndarray) -> np.ndarray:
+    return np.concatenate([-q[:3], q[3:4]])
+
+
+def _quat_mul_np(q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    v1, w1 = q1[:3], q1[3]
+    v2, w2 = q2[:3], q2[3]
+    v = w1 * v2 + w2 * v1 + np.cross(v1, v2)
+    w = w1 * w2 - v1 @ v2
+    q = np.concatenate([v, [w]])
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])

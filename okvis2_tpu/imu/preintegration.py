@@ -370,3 +370,184 @@ def init_pose_from_accel(accel_mean: jnp.ndarray) -> Transformation:
     axis = jnp.where(s > 1e-9, v / safe_s, jnp.array([1.0, 0.0, 0.0], a.dtype))
     q_WS = so3.delta_q(axis * angle)
     return Transformation(r=jnp.zeros(3, dtype=accel_mean.dtype), q=q_WS)
+
+
+def propagate_state_np(g, T_WS7, speed_and_bias, gyro, accel, dt):
+    """Pure-numpy dead-reckoning (host mirror of `propagate_state`) for
+    the per-frame pose prediction: an initial guess does not need the
+    device, and over the TPU tunnel a device call plus readback costs
+    ~100 ms (reference role: ThreadedSlam's propagation for detection,
+    ThreadedSlam.cpp:397-409, which likewise avoids the estimator).
+
+    g: scalar gravity magnitude; T_WS7 numpy [7]; speed_and_bias [9];
+    gyro/accel [N,3]; dt [N]. Returns (T_WS7', speed_and_bias')."""
+    import numpy as np
+
+    from okvis2_tpu.core import se3_np
+
+    r = T_WS7[:3].astype(np.float64).copy()
+    q = T_WS7[3:7].astype(np.float64).copy()
+    v = speed_and_bias[:3].astype(np.float64).copy()
+    bg = speed_and_bias[3:6]
+    ba = speed_and_bias[6:9]
+    g_W = np.array([0.0, 0.0, -float(g)])
+    for k in range(len(dt)):
+        h = float(dt[k])
+        if h <= 0.0:
+            continue
+        w = gyro[k] - bg
+        a = accel[k] - ba
+        half = 0.5 * w * h
+        ang = np.linalg.norm(half)
+        dq = np.concatenate([
+            half * (np.sinc(ang / np.pi)), [np.cos(ang)]
+        ])
+        q1 = se3_np.quat_mul(q, dq)
+        C = se3_np.quat_to_mat(q)
+        C1 = se3_np.quat_to_mat(q1)
+        acc_w = 0.5 * (C @ a + C1 @ a)
+        r = r + v * h + 0.5 * g_W * h * h + 0.5 * acc_w * h * h
+        v = v + g_W * h + acc_w * h
+        q = q1
+    sb1 = np.concatenate([v, bg, ba])
+    return np.concatenate([r, q]), sb1
+
+
+def preintegrate_np(params, gyro, accel, dt, bg, ba):
+    """Pure-numpy mirror of `preintegrate` for the host packing path.
+
+    The per-frame hot loop preintegrates ONE short segment (~10 samples);
+    doing it on device costs a dispatch plus a dozen small readbacks over
+    the TPU tunnel (~100 ms), while the numpy scan below is microseconds.
+    Returns a Preintegrated with numpy leaves (same math, same floor).
+    Whitening uses the symmetric eigh-based inverse square root — a
+    different square-root factor than the device path's, but the same
+    quadratic form, so the induced cost is identical.
+    """
+    import numpy as np
+
+    from okvis2_tpu.core import se3_np
+
+    gyro = np.asarray(gyro, np.float64)
+    accel = np.asarray(accel, np.float64)
+    dt = np.asarray(dt, np.float64)
+    bg = np.asarray(bg, np.float64)
+    ba = np.asarray(ba, np.float64)
+
+    def cross(v):
+        return np.array([
+            [0.0, -v[2], v[1]],
+            [v[2], 0.0, -v[0]],
+            [-v[1], v[0], 0.0],
+        ])
+
+    def right_jacobian(phi):
+        ang = np.linalg.norm(phi)
+        K = cross(phi)
+        if ang < 1e-8:
+            return np.eye(3) - 0.5 * K
+        return (
+            np.eye(3)
+            - (1.0 - np.cos(ang)) / ang**2 * K
+            + (ang - np.sin(ang)) / ang**3 * (K @ K)
+        )
+
+    q = np.array([0.0, 0, 0, 1.0])
+    c_int = np.zeros((3, 3))
+    c_dint = np.zeros((3, 3))
+    acc_int = np.zeros(3)
+    acc_dint = np.zeros(3)
+    d_a_bg = np.zeros((3, 3))
+    d_v_bg = np.zeros((3, 3))
+    d_p_bg = np.zeros((3, 3))
+    P = np.zeros((15, 15))
+    eye3 = np.eye(3)
+    s_g = float(params.sigma_g_c)
+    s_a = float(params.sigma_a_c)
+    s_gw = float(params.sigma_gw_c)
+    s_aw = float(params.sigma_aw_c)
+
+    for k in range(len(dt)):
+        h = dt[k]
+        if h <= 0.0:
+            continue
+        w = gyro[k] - bg
+        a = accel[k] - ba
+        half = 0.5 * w * h
+        ang = np.linalg.norm(half)
+        dq = np.concatenate([half * np.sinc(ang / np.pi), [np.cos(ang)]])
+        q1 = se3_np.quat_mul(q, dq)
+        C = se3_np.quat_to_mat(q)
+        C1 = se3_np.quat_to_mat(q1)
+        Ca = C @ a
+        C1a = C1 @ a
+        half_sum_C = 0.5 * (C + C1)
+
+        acc_dint = acc_dint + acc_int * h + 0.25 * (Ca + C1a) * h * h
+        acc_int = acc_int + 0.5 * (Ca + C1a) * h
+        c_dint = c_dint + c_int * h + 0.5 * half_sum_C * h * h
+        c_int = c_int + half_sum_C * h
+
+        Jr = right_jacobian(w * h)
+        d_a_bg1 = d_a_bg - C1 @ Jr * h
+        cross_k = -cross(Ca) @ d_a_bg
+        cross_k1 = -cross(C1a) @ d_a_bg1
+        d_p_bg = d_p_bg + h * d_v_bg + 0.25 * h * h * (cross_k + cross_k1)
+        d_v_bg = d_v_bg + 0.5 * h * (cross_k + cross_k1)
+        d_a_bg = d_a_bg1
+
+        F_va = -0.5 * h * (cross(Ca) + cross(C1a))
+        F_v_bg = 0.25 * h * h * (cross(C1a) @ (C1 @ Jr))
+        F_v_ba = -half_sum_C * h
+        F_a_bg = -C1 @ Jr * h
+
+        F = np.zeros((15, 15))
+        F[0:3, 0:3] = eye3
+        F[0:3, 3:6] = 0.5 * h * F_va
+        F[0:3, 6:9] = eye3 * h
+        F[0:3, 9:12] = 0.5 * h * F_v_bg
+        F[0:3, 12:15] = 0.5 * h * F_v_ba
+        F[3:6, 3:6] = eye3
+        F[3:6, 9:12] = F_a_bg
+        F[6:9, 3:6] = F_va
+        F[6:9, 6:9] = eye3
+        F[6:9, 9:12] = F_v_bg
+        F[6:9, 12:15] = F_v_ba
+        F[9:12, 9:12] = eye3
+        F[12:15, 12:15] = eye3
+
+        P = F @ P @ F.T
+        s2_a = s_g * s_g * h
+        s2_v = s_a * s_a * h
+        P += np.diag(np.concatenate([
+            np.full(3, 0.25 * h * h * s2_v),
+            np.full(3, s2_a),
+            np.full(3, s2_v),
+            np.full(3, s_gw * s_gw * h),
+            np.full(3, s_aw * s_aw * h),
+        ]))
+        q = q1
+
+    P = 0.5 * (P + P.T)
+    P += np.diag(np.concatenate([
+        np.full(3, 1e-8), np.full(3, 1e-10), np.full(3, 1e-8),
+        np.full(6, 1e-12),
+    ]))
+    wvals, U = np.linalg.eigh(P)
+    sqrt_info = (U * (1.0 / np.sqrt(np.maximum(wvals, 1e-30)))) @ U.T
+
+    return Preintegrated(
+        delta_q=q,
+        c_int=c_int,
+        c_dint=c_dint,
+        acc_int=acc_int,
+        acc_dint=acc_dint,
+        d_alpha_dbg=d_a_bg,
+        d_v_dbg=d_v_bg,
+        d_p_dbg=d_p_bg,
+        covariance=P,
+        sqrt_info=sqrt_info,
+        dt_total=np.sum(dt),
+        bg_lin=bg,
+        ba_lin=ba,
+    )

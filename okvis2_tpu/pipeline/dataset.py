@@ -294,19 +294,37 @@ class SyntheticDataset:
         self.star_pattern = rng.uniform(0.3, 1.0, (n_stars, 6, 6))
 
     def render(self, T_WS) -> List[np.ndarray]:
-        """Render all cameras at body pose T_WS (numpy [7])."""
+        """Render all cameras at body pose T_WS (numpy [7]). The star
+        projection runs as ONE jitted dispatch per camera (eager ops here
+        would pay a device roundtrip each — minutes per sequence over the
+        TPU tunnel)."""
         import jax
         import jax.numpy as jnp
-        from okvis2_tpu.core.se3 import Transformation
+
+        if not hasattr(self, "_project_fn"):
+            from okvis2_tpu.core.se3 import Transformation
+
+            def _project(cam, T_WS7, T_SC7, stars):
+                T = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
+                T_SC = Transformation(r=T_SC7[:3], q=T_SC7[3:7])
+                T_CW = (T @ T_SC).inverse()
+                p_C = jax.vmap(T_CW.apply)(stars)
+                uv, valid = cam.project(p_C)
+                return uv, valid & (p_C[:, 2] > 0.2)
+
+            self._project_fn = jax.jit(_project)
+            self._stars_dev = jnp.asarray(self.stars)
+            self._T_SC7 = [
+                np.concatenate([np.asarray(T.r), np.asarray(T.q)])
+                for T in self.extrinsics
+            ]
 
         out = []
-        T = Transformation(r=jnp.asarray(T_WS[:3]), q=jnp.asarray(T_WS[3:7]))
-        for cam, T_SC in zip(self.cameras, self.extrinsics):
-            T_CW = (T @ T_SC).inverse()
-            p_C = np.asarray(jax.vmap(T_CW.apply)(jnp.asarray(self.stars)))
-            uv, valid = cam.project(jnp.asarray(p_C))
-            uv = np.asarray(uv)
-            valid = np.asarray(valid) & (p_C[:, 2] > 0.2)
+        for cam, T_SC7 in zip(self.cameras, self._T_SC7):
+            uv, valid = jax.device_get(self._project_fn(
+                cam, jnp.asarray(T_WS), jnp.asarray(T_SC7),
+                self._stars_dev,
+            ))
             img = np.zeros((cam.height, cam.width), np.float32)
             for k in np.nonzero(valid)[0]:
                 x, y = uv[k]
@@ -328,24 +346,34 @@ class SyntheticDataset:
 
     def stream(self) -> Iterator[tuple]:
         import jax
+        import jax.numpy as jnp
 
         rng = np.random.default_rng(123)
         n_frames = int(self.duration * self.frame_rate)
         imu_dt = 1.0 / self.imu_rate
-        t_imu = 0.0
+        # batch-evaluate ALL IMU samples and frame poses up front: one
+        # dispatch instead of one per 5 ms sample
+        n_imu = int(np.ceil((n_frames - 1) / self.frame_rate / imu_dt)) + 2
+        ts_imu = np.arange(n_imu) * imu_dt
+        w_all, a_all = jax.device_get(jax.jit(jax.vmap(
+            lambda tt: self.syn.imu_at(tt, self.imu_params)
+        ))(jnp.asarray(ts_imu)))
+        ts_frame = np.arange(n_frames) / self.frame_rate
+        T_all, _sb = jax.jit(jax.vmap(
+            lambda tt: self.syn.true_state(tt)
+        ))(jnp.asarray(ts_frame))
+        rs, qs = jax.device_get((T_all.r, T_all.q))
+        if self.imu_noise > 0:
+            w_all = w_all + rng.normal(0, self.imu_noise * 1e-2, w_all.shape)
+            a_all = a_all + rng.normal(0, self.imu_noise * 1e-1, a_all.shape)
+
+        ii = 0
         for fi in range(n_frames):
-            t = fi / self.frame_rate
-            while t_imu <= t + 1e-9:
-                w, a = self.syn.imu_at(t_imu, self.imu_params)
-                w = np.asarray(w)
-                a = np.asarray(a)
-                if self.imu_noise > 0:
-                    w = w + rng.normal(0, self.imu_noise * 1e-2, 3)
-                    a = a + rng.normal(0, self.imu_noise * 1e-1, 3)
-                yield ("imu", t_imu, a, w)
-                t_imu += imu_dt
-            T_gt, _ = self.syn.true_state(t)
-            pose = np.concatenate([np.asarray(T_gt.r), np.asarray(T_gt.q)])
+            t = ts_frame[fi]
+            while ii < n_imu and ts_imu[ii] <= t + 1e-9:
+                yield ("imu", ts_imu[ii], a_all[ii], w_all[ii])
+                ii += 1
+            pose = np.concatenate([rs[fi], qs[fi]])
             yield ("images", t, self.render(pose), pose)
 
     def ground_truth(self, t: float) -> np.ndarray:

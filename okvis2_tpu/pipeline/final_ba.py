@@ -43,9 +43,16 @@ def convert_edges_to_observations(estimator: Estimator):
     return n_restored
 
 
+def _pow2_at_least(n: int, floor: int) -> int:
+    s = floor
+    while s < n:
+        s *= 2
+    return s
+
+
 def pack_full_ba_problem(
     estimator: Estimator,
-    max_states: int = 256,
+    max_states: int = 0,
     max_landmarks: int = 8192,
     max_obs: int = 65536,
     rel_slots: int = 256,
@@ -53,12 +60,24 @@ def pack_full_ba_problem(
     """Pack the entire session into one big problem: every state, every
     landmark with >=2 observations, all IMU chain links, remaining
     (loop-closure) relative edges. Everything unfrozen except the gauge
-    prior on the first state."""
+    prior on the first state. State capacity grows in powers of two with
+    the session (no silent truncation — the reference's full graph is
+    unbounded); `max_states` > 0 restores an explicit cap."""
     ids = [s for s in estimator.state_order if len(
         estimator.states[s].imu_dt) or s == estimator.state_order[0]]
-    ids = ids[-max_states:]
+    if max_states:
+        if len(ids) > max_states:
+            import warnings
+
+            warnings.warn(
+                f"final BA truncating {len(ids) - max_states} oldest "
+                f"states (max_states={max_states})"
+            )
+        ids = ids[-max_states:]
+        S = max_states
+    else:
+        S = _pow2_at_least(max(len(ids), 2), 32)
     slot_of = {s: i for i, s in enumerate(ids)}
-    S = max_states
 
     prob = WindowProblem.empty(
         S, max_landmarks, max_obs, len(estimator.cameras),
@@ -175,12 +194,12 @@ def do_final_ba(
     estimator: Estimator,
     iterations: int = 30,
     mesh=None,
-    max_states: int = 256,
+    max_states: int = 0,
     max_landmarks: int = 8192,
     max_obs: int = 65536,
 ):
     """Expand, unfreeze, solve, write back. With `mesh`, the solve runs
-    landmark-sharded across devices."""
+    landmark-sharded across devices. max_states=0 = grow with session."""
     n_restored = convert_edges_to_observations(estimator)
     prob, ids, slot_of, lm_ids = pack_full_ba_problem(
         estimator, max_states, max_landmarks, max_obs

@@ -5,16 +5,23 @@ especially detectAndDescribe :221-269 and
 dataAssociationAndInitialization :558-1015) around batched device calls:
 
 - detection/description for ALL cameras is one batched device program
-  (vs. the reference's thread-per-camera, ThreadedSlam.cpp:360-384);
-- match-to-map is one gated Hamming matmul against the window landmarks'
-  descriptors (vs. multithreaded descriptor loops, Frontend.cpp:1171-1719);
-- static-stereo initialisation matches cam0<->cam1 with an epipolar gate
-  and triangulates all candidates in one vmapped call
-  (vs. matchStereo + per-candidate triangulateFast, Frontend.cpp:1981-2150);
-- 3D-2D RANSAC is the batched-hypothesis version (frontend/ransac.py).
+  (vs the reference's thread-per-camera, ThreadedSlam.cpp:360-384);
+- the landmark descriptor map is DEVICE-RESIDENT with <= 3 descriptors
+  per landmark (Frontend.cpp:1224-1359 keeps the 3 most recent distinct
+  descriptors) — only per-frame deltas are uploaded;
+- match-to-map + rig absolute-pose RANSAC run fused in ONE device
+  program per frame (`_associate_device`): project landmarks into every
+  camera, gate, Hamming-match on the MXU, P3P-RANSAC over the joint rig
+  correspondences (Frontend.cpp:1171-1719 matchToMap + :2208-2278
+  runRansac3d2d), returning only the small match/inlier tables;
+- static-stereo / motion-stereo initialisation matches with an epipolar
+  gate and triangulates all candidates in one call per pair
+  (matchStereo :1981-2150, matchMotionStereo :1733-1978);
+- all host-side pose math is numpy (core/se3_np) — an eager device op
+  costs a tunnel roundtrip.
 
-Keyframe selection uses the matched-vs-detected spatial coverage heuristic
-(doWeNeedANewKeyframe, Frontend.cpp:1057-1167) computed on a grid.
+Keyframe selection uses the matched-vs-detected spatial coverage
+heuristic (doWeNeedANewKeyframe, Frontend.cpp:1057-1167) on a grid.
 """
 
 from __future__ import annotations
@@ -27,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from okvis2_tpu.core import so3
+from okvis2_tpu.core import se3_np
 from okvis2_tpu.core.se3 import Transformation
 from okvis2_tpu.frontend.descriptor import describe_keypoints
 from okvis2_tpu.frontend.detection import (
@@ -35,7 +42,8 @@ from okvis2_tpu.frontend.detection import (
     detect_keypoints,
     detect_keypoints_batch,
 )
-from okvis2_tpu.frontend.matching import match_descriptors
+from okvis2_tpu.frontend.matching import hamming_distance_matrix, match_descriptors
+from okvis2_tpu.frontend.p3p import ransac_rig_pose_impl
 from okvis2_tpu.frontend.ransac import ransac_absolute_pose
 from okvis2_tpu.frontend.triangulation import triangulate_in_frames
 from okvis2_tpu.graph.estimator import Estimator
@@ -47,68 +55,332 @@ class FrontendConfig:
     matching_threshold: int = 60  # Hamming (config/euroc.yaml:65)
     map_match_radius: float = 40.0  # px gate around predicted projection
     map_match_capacity: int = 1024  # fixed landmark-slot count per match call
+    n_desc_per_lm: int = 3  # <=3 best descriptors (Frontend.cpp:1224-1359)
     stereo_epipolar_gate: float = 3.0  # px distance to epipolar line
     keyframe_overlap_threshold: float = 0.6  # euroc.yaml:68
     keyframe_grid: int = 8  # coverage grid (grid cells per axis)
     ransac_min_inliers: int = 10
+    ransac_hypotheses: int = 128
+    ransac_threshold_deg: float = 0.6  # ~4px at f=460 (thresh 16 px^2)
     use_ransac: bool = True
     min_depth: float = 0.1
     max_depth: float = 60.0
 
 
-@functools.partial(jax.jit, static_argnames=("max_distance",))
-def _match_map_device(
-    cam,
-    T_WC7: jnp.ndarray,  # [7] camera pose in world
-    hp: jnp.ndarray,  # [Lc,4] landmark homogeneous points
-    lm_mask: jnp.ndarray,  # [Lc]
-    lm_signs: jnp.ndarray,  # [Lc,B]
-    kp_xy: jnp.ndarray,  # [N,2]
-    kp_mask: jnp.ndarray,  # [N]
+def _T7(T: Transformation) -> jnp.ndarray:
+    return jnp.concatenate([T.r, T.q])
+
+
+def _min3_gated_match(
+    tab_signs: jnp.ndarray,  # [Lc,K,B] ±1 (0 rows invalid)
+    tab_valid: jnp.ndarray,  # [Lc,K]
     kp_signs: jnp.ndarray,  # [N,B]
-    radius: jnp.ndarray,
+    kp_mask: jnp.ndarray,  # [N]
+    gate: jnp.ndarray,  # [Lc,N]
     max_distance: int,
 ):
-    """One-dispatch map matching for one camera: project landmarks,
-    gate by image radius, Hamming-match (matchToMap device part)."""
-    T_CW = Transformation(r=T_WC7[:3], q=T_WC7[3:7]).inverse()
-    hp_C = jax.vmap(T_CW.apply_homogeneous)(hp)
-    uv_pred, valid = cam.project_homogeneous(hp_C)
-    valid = valid & lm_mask
-    d2 = jnp.sum(
-        (uv_pred[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1
-    )
-    gate = (d2 < radius * radius) & valid[:, None] & kp_mask[None, :]
-    m = match_descriptors(
-        lm_signs, valid, kp_signs, kp_mask,
-        max_distance=max_distance, gate=gate,
-    )
-    return m["idx_b"], m["valid"]
+    """Mutual-best Hamming match, landmark distance = min over its <=K
+    stored descriptors."""
+    Lc, K, B = tab_signs.shape
+    d_all = hamming_distance_matrix(
+        tab_signs.reshape(Lc * K, B), kp_signs
+    ).reshape(Lc, K, -1)
+    BIG = jnp.asarray(1e9, d_all.dtype)
+    d_all = jnp.where(tab_valid[:, :, None], d_all, BIG)
+    d = jnp.min(d_all, axis=1)  # [Lc,N]
+    lm_has = jnp.any(tab_valid, axis=1)
+    m = lm_has[:, None] & kp_mask[None, :] & gate
+    d = jnp.where(m, d, BIG)
+    best_b = jnp.argmin(d, axis=1)
+    best_d = jnp.min(d, axis=1)
+    best_a_of_b = jnp.argmin(d, axis=0)
+    mutual = best_a_of_b[best_b] == jnp.arange(Lc)
+    valid = mutual & (best_d <= max_distance) & lm_has
+    return jnp.where(valid, best_b, 0).astype(jnp.int32), valid
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_distance", "allow_parallel")
+    jax.jit,
+    static_argnames=("max_distance", "n_hyp", "min_inliers", "use_ransac"),
+)
+def _associate_device(
+    cameras,
+    key,
+    T_WS7: jnp.ndarray,  # [7] predicted body pose
+    T_SC7: jnp.ndarray,  # [NC,7] extrinsics
+    hp: jnp.ndarray,  # [Lc,4] landmark homogeneous points
+    lm_mask: jnp.ndarray,  # [Lc]
+    lm_init: jnp.ndarray,  # [Lc] initialised (RANSAC-eligible)
+    tab_signs: jnp.ndarray,  # [Lc,K,B]
+    tab_valid: jnp.ndarray,  # [Lc,K]
+    xy: jnp.ndarray,  # [NC,N,2]
+    kp_mask: jnp.ndarray,  # [NC,N]
+    kp_signs: jnp.ndarray,  # [NC,N,B]
+    radius: jnp.ndarray,
+    threshold_deg: jnp.ndarray,
+    max_distance: int,
+    n_hyp: int,
+    min_inliers: int,
+    use_ransac: bool,
+):
+    """ONE dispatch for the whole data-association front half:
+    project landmarks into every camera, gate by predicted reprojection
+    radius, Hamming-match (min over <=K stored descriptors), then
+    rig-joint P3P RANSAC over all matches of initialised landmarks.
+
+    Returns (idx [NC,Lc], ok [NC,Lc], inlier [NC,Lc], n_inl, ransac_ok).
+    Reference: matchToMap + runRansac3d2d interleave,
+    Frontend.cpp:1171-1719, 2208-2278."""
+    return _associate_core(
+        cameras, key, T_WS7, T_SC7, hp, lm_mask, lm_init,
+        tab_signs, tab_valid, xy, kp_mask, kp_signs,
+        radius, threshold_deg, max_distance, n_hyp, min_inliers,
+        use_ransac,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
+        "do_motion_stereo",
+    ),
+)
+def _frame_associate_device(
+    cameras,
+    key,
+    images: jnp.ndarray,  # [NC,H,W] float
+    T_WS7: jnp.ndarray,
+    T_SC7: jnp.ndarray,
+    hp: jnp.ndarray,
+    lm_mask: jnp.ndarray,
+    lm_init: jnp.ndarray,
+    tab_signs: jnp.ndarray,
+    tab_valid: jnp.ndarray,
+    kf_xy: jnp.ndarray,  # [NC,N,2] last keyframe stack
+    kf_signs: jnp.ndarray,  # [NC,N,B]
+    kf_free: jnp.ndarray,  # [NC,N] keypoints not hosting landmarks
+    T_WS_kf7: jnp.ndarray,
+    radius: jnp.ndarray,
+    threshold_deg: jnp.ndarray,
+    epi_px: jnp.ndarray,
+    min_depth: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    det_cfg,
+    max_distance: int,
+    n_hyp: int,
+    min_inliers: int,
+    use_ransac: bool,
+    do_motion_stereo: bool,
+):
+    """THE per-frame frontend program: detection + description +
+    match-to-map + rig P3P-RANSAC + motion stereo, fused into ONE
+    dispatch whose host-relevant outputs come back as a single flat
+    float array (one readback — each roundtrip over the TPU tunnel
+    costs ~60 ms, so the frame loop gets exactly one).
+
+    Returns (diag [D], stacked) where stacked holds the device-resident
+    detection arrays for later programs (table update, static stereo,
+    keyframe storage)."""
+    NC = len(cameras)
+    det = detect_keypoints_batch(images, det_cfg)
+    desc = jax.vmap(describe_keypoints)(
+        images, det["xy"], det["size"], det["mask"]
+    )
+    xy = det["xy"]  # [NC,N,2]
+    kp_mask = det["mask"]
+    kp_signs = desc["signs"]
+    N = xy.shape[1]
+    dtype = kp_signs.dtype
+
+    idx, ok, keep, n_inl, ransac_ok = _associate_core(
+        cameras, key, T_WS7, T_SC7, hp, lm_mask, lm_init,
+        tab_signs, tab_valid, xy, kp_mask, kp_signs,
+        radius, threshold_deg, max_distance, n_hyp, min_inliers,
+        use_ransac,
+    )
+
+    # keypoints matched to the map this frame (per camera)
+    Lc = hp.shape[0]
+    matched = jnp.zeros((NC, N), bool)
+    src = jnp.where(keep, idx, N)  # out-of-range -> dropped
+    matched = jax.vmap(
+        lambda m, s: m.at[s].set(True, mode="drop")
+    )(matched, src)
+
+    # motion stereo vs the last keyframe (same camera across time)
+    ms_idx = jnp.zeros((NC, N), jnp.int32)
+    ms_hp = jnp.zeros((NC, N, 4), dtype)
+    ms_good = jnp.zeros((NC, N), bool)
+    if do_motion_stereo:
+        T_WS_kf = Transformation(r=T_WS_kf7[:3], q=T_WS_kf7[3:7])
+        T_WS = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
+        for ci, cam in enumerate(cameras):
+            T_sc = Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
+            T_WA = T_WS_kf @ T_sc
+            T_WB = T_WS @ T_sc
+            baseline = jnp.linalg.norm(T_WB.r - T_WA.r)
+            f0 = cam.focal.ravel()[0]
+            i_b, hp_W, good, parallel = _stereo_pair(
+                cam, cam, T_WA, T_WB,
+                kf_xy[ci], kf_signs[ci], kf_free[ci],
+                xy[ci], kp_signs[ci], kp_mask[ci] & ~matched[ci],
+                epi_px / f0, min_depth, max_depth,
+                max_distance, False,
+            )
+            good = good & (baseline > 0.02)
+            ms_idx = ms_idx.at[ci].set(i_b)
+            ms_hp = ms_hp.at[ci].set(hp_W)
+            ms_good = ms_good.at[ci].set(good)
+
+    f32 = lambda a: a.astype(jnp.float32).ravel()
+    diag = jnp.concatenate([
+        f32(xy), f32(det["size"]), f32(kp_mask),
+        f32(idx), f32(keep),
+        f32(ms_idx), f32(ms_hp), f32(ms_good),
+        jnp.stack([n_inl.astype(jnp.float32),
+                   ransac_ok.astype(jnp.float32)]),
+    ])
+    stacked = {"xy": xy, "mask": kp_mask, "signs": kp_signs}
+    return diag, stacked
+
+
+def _stereo_pair(
+    cam_a, cam_b, T_WA, T_WB,
+    xy_a, signs_a, free_a, xy_b, signs_b, free_b,
+    epi_gate, min_depth, max_depth, max_distance, allow_parallel,
+):
+    """Traced helper: epipolar-gated match + triangulation between two
+    views (shared by fused motion stereo and static stereo)."""
+    rays_a = cam_a.back_project(xy_a)
+    rays_b = cam_b.back_project(xy_b)
+    T_AB = T_WA.inverse() @ T_WB
+    rays_b_in_a = (T_AB.C @ rays_b.T).T
+    n_plane = jnp.cross(jnp.broadcast_to(T_AB.r, rays_a.shape), rays_a)
+    n_plane = n_plane / (
+        jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
+    )
+    epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
+    gate = epi < epi_gate
+    m = match_descriptors(
+        signs_a, free_a, signs_b, free_b,
+        max_distance=max_distance, gate=gate,
+    )
+    bi_full = jnp.where(m["valid"], m["idx_b"], 0)
+    hp_W, valid_t, parallel = triangulate_in_frames(
+        T_WA, T_WB, rays_a, rays_b[bi_full]
+    )
+    p_A = jax.vmap(T_WA.inverse().apply_homogeneous)(hp_W)
+    safe_w = jnp.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
+    depth = p_A[:, 2] / safe_w
+    depth_ok = (depth > min_depth) & (depth < max_depth)
+    good = m["valid"] & valid_t & (
+        (parallel & allow_parallel) | (~parallel & depth_ok)
+    )
+    return m["idx_b"], hp_W, good, parallel
+
+
+def _associate_core(
+    cameras, key, T_WS7, T_SC7, hp, lm_mask, lm_init,
+    tab_signs, tab_valid, xy, kp_mask, kp_signs,
+    radius, threshold_deg, max_distance, n_hyp, min_inliers, use_ransac,
+):
+    """Traced body shared by _associate_device and the fused frame
+    program: project-gate-match per camera + rig-joint P3P RANSAC."""
+    NC = len(cameras)
+    Lc = hp.shape[0]
+    T_WS = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
+
+    idx_c, ok_c, rays_c = [], [], []
+    for ci, cam in enumerate(cameras):
+        T_WC = T_WS @ Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
+        T_CW = T_WC.inverse()
+        hp_C = jax.vmap(T_CW.apply_homogeneous)(hp)
+        uv_pred, valid = cam.project_homogeneous(hp_C)
+        valid = valid & lm_mask
+        d2 = jnp.sum((uv_pred[:, None, :] - xy[ci][None, :, :]) ** 2, -1)
+        gate = (d2 < radius * radius) & valid[:, None]
+        idx, ok = _min3_gated_match(
+            tab_signs, tab_valid, kp_signs[ci], kp_mask[ci], gate,
+            max_distance,
+        )
+        rays = cam.back_project(xy[ci][idx])
+        idx_c.append(idx)
+        ok_c.append(ok)
+        rays_c.append(rays)
+
+    idx = jnp.stack(idx_c)
+    ok = jnp.stack(ok_c)
+    rays = jnp.stack(rays_c)
+
+    if not use_ransac:
+        z = jnp.zeros((), jnp.int32)
+        return idx, ok, ok, z, jnp.asarray(False)
+
+    w = hp[:, 3:4]
+    pts = hp[:, :3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    pts_all = jnp.tile(pts, (NC, 1))
+    rays_all = rays.reshape(NC * Lc, 3)
+    cam_idx = jnp.repeat(jnp.arange(NC, dtype=jnp.int32), Lc)
+    corr_mask = (ok & lm_init[None, :]).reshape(NC * Lc)
+    res = ransac_rig_pose_impl(
+        key, pts_all, rays_all, cam_idx, corr_mask, T_SC7,
+        threshold_deg=threshold_deg, n_hyp=n_hyp, min_inliers=min_inliers,
+    )
+    inlier = res["inliers"].reshape(NC, Lc)
+    keep = jnp.where(res["ok"], inlier, ok)
+    return idx, ok, keep & ok, res["num_inliers"], res["ok"]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _table_update(
+    tab_signs: jnp.ndarray,  # [Lc,K,B]
+    tab_valid: jnp.ndarray,  # [Lc,K]
+    kp_signs: jnp.ndarray,  # [NC,N,B] this frame's descriptors
+    tgt: jnp.ndarray,  # [U] flat slot*K+ring (out of range = drop)
+    cam: jnp.ndarray,  # [U]
+    kp: jnp.ndarray,  # [U]
+    clear: jnp.ndarray,  # [C] slot indices to clear (out of range = drop)
+):
+    """Scatter this frame's new landmark descriptors into the resident
+    table and clear freed slots — the per-frame delta upload is a few
+    hundred int32s instead of the whole multi-MB table."""
+    Lc, K, B = tab_signs.shape
+    src = kp_signs[cam, kp]  # [U,B]
+    flat_s = tab_signs.reshape(Lc * K, B)
+    flat_v = tab_valid.reshape(Lc * K)
+    flat_s = flat_s.at[tgt].set(src, mode="drop")
+    flat_v = flat_v.at[tgt].set(True, mode="drop")
+    tab_valid2 = flat_v.reshape(Lc, K)
+    tab_valid2 = tab_valid2.at[clear].set(False, mode="drop")
+    return flat_s.reshape(Lc, K, B), tab_valid2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ci_a", "ci_b", "max_distance", "allow_parallel")
 )
 def _stereo_device(
     cam_a,
     cam_b,
     T_WA7: jnp.ndarray,  # [7] camera-A pose in world
     T_WB7: jnp.ndarray,  # [7] camera-B pose in world
-    xy_a: jnp.ndarray,
-    signs_a: jnp.ndarray,
+    xy: jnp.ndarray,  # [NC,N,2] stacked keypoints (device)
+    signs: jnp.ndarray,  # [NC,N,B]
     free_a: jnp.ndarray,
-    xy_b: jnp.ndarray,
-    signs_b: jnp.ndarray,
     free_b: jnp.ndarray,
     epi_gate: jnp.ndarray,
     min_depth: jnp.ndarray,
     max_depth: jnp.ndarray,
+    ci_a: int,
+    ci_b: int,
     max_distance: int,
     allow_parallel: bool,
 ):
     """One-dispatch epipolar-gated matching + triangulation between two
     camera views (shared by static stereo and motion stereo). Returns
     (idx_b [N], hp_W [N,4], good [N], parallel [N])."""
+    xy_a, xy_b = xy[ci_a], xy[ci_b]
+    signs_a, signs_b = signs[ci_a], signs[ci_b]
     T_WA = Transformation(r=T_WA7[:3], q=T_WA7[3:7])
     T_WB = Transformation(r=T_WB7[:3], q=T_WB7[3:7])
     rays_a = cam_a.back_project(xy_a)
@@ -139,16 +411,108 @@ def _stereo_device(
     return m["idx_b"], hp_W, good, parallel
 
 
+class DeviceLandmarkTable:
+    """Host bookkeeping for the device-resident landmark descriptor map."""
+
+    def __init__(self, capacity: int, n_desc: int):
+        self.capacity = capacity
+        self.n_desc = n_desc
+        self.slot_of: Dict[int, int] = {}
+        self.lid_of: Dict[int, int] = {}
+        self.free = list(range(capacity - 1, -1, -1))
+        self.ring_next = np.zeros(capacity, np.int32)
+        self.signs = None  # device [cap,K,B]
+        self.valid = None  # device [cap,K]
+        # staged per-frame updates
+        self._upd: List[tuple] = []  # (slot, ring, cam, kp)
+        self._clear: List[int] = []
+
+    def ensure(self, B: int, dtype):
+        if self.signs is None:
+            self.signs = jnp.zeros(
+                (self.capacity, self.n_desc, B), dtype
+            )
+            self.valid = jnp.zeros((self.capacity, self.n_desc), bool)
+
+    def alloc(self, lid: int) -> Optional[int]:
+        s = self.slot_of.get(lid)
+        if s is not None:
+            return s
+        if not self.free:
+            return None
+        s = self.free.pop()
+        self.slot_of[lid] = s
+        self.lid_of[s] = lid
+        self.ring_next[s] = 0
+        return s
+
+    def release(self, lid: int):
+        s = self.slot_of.pop(lid, None)
+        if s is not None:
+            del self.lid_of[s]
+            self.free.append(s)
+            self._clear.append(s)
+
+    def stage_descriptor(self, lid: int, cam: int, kp: int):
+        s = self.slot_of.get(lid)
+        if s is None:
+            s = self.alloc(lid)
+            if s is None:
+                return
+        ring = int(self.ring_next[s])
+        self.ring_next[s] = (ring + 1) % self.n_desc
+        self._upd.append((s, ring, cam, kp))
+
+    def flush(self, kp_signs_device, upd_capacity: int = 512):
+        """Apply staged updates in one donated-scatter dispatch."""
+        if self.signs is None:
+            return
+        if not self._upd and not self._clear:
+            return
+        K = self.n_desc
+        while self._upd or self._clear:
+            batch = self._upd[:upd_capacity]
+            self._upd = self._upd[upd_capacity:]
+            clr = self._clear[:upd_capacity]
+            self._clear = self._clear[upd_capacity:]
+            U = upd_capacity
+            tgt = np.full(U, self.capacity * K, np.int32)  # drop
+            cam = np.zeros(U, np.int32)
+            kp = np.zeros(U, np.int32)
+            for i, (s, ring, c, k) in enumerate(batch):
+                tgt[i] = s * K + ring
+                cam[i] = c
+                kp[i] = k
+            clear = np.full(U, self.capacity, np.int32)
+            clear[: len(clr)] = clr
+            self.signs, self.valid = _table_update(
+                self.signs, self.valid, kp_signs_device, tgt, cam, kp,
+                clear,
+            )
+
+
 class Frontend:
     def __init__(self, cameras, extrinsics: List[Transformation],
                  config: FrontendConfig = FrontendConfig()):
         self.cameras = tuple(cameras)
         self.extrinsics = list(extrinsics)
+        # numpy copies for host-side composition
+        self.T_SC_np = [
+            np.concatenate([np.asarray(T.r), np.asarray(T.q)])
+            for T in extrinsics
+        ]
         self.cfg = config
-        # landmark id -> latest descriptor signs (numpy [512])
+        # landmark id -> latest descriptor signs (numpy, for loop-closure
+        # verification and map export); the matching path uses the
+        # device-resident table below
         self.lm_descriptors: Dict[int, np.ndarray] = {}
+        self.table = DeviceLandmarkTable(
+            config.map_match_capacity, config.n_desc_per_lm
+        )
         self._key = jax.random.PRNGKey(42)
         self.last_keyframe_id: Optional[int] = None
+        self.last_ransac = {"num_inliers": 0, "ok": False}
+        self._desc_stage: List[tuple] = []
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -157,9 +521,9 @@ class Frontend:
 
     def detect_and_describe(self, images: List[np.ndarray]):
         """Whole-rig detection+description: one batched device call when
-        all cameras share a resolution (the common case), per-camera
-        calls otherwise. Returns list of dicts per camera.
-        """
+        all cameras share a resolution (the common case). Returns a list
+        of per-camera dicts (host numpy) sharing a "stacked" entry with
+        the device-resident arrays."""
         shapes = {img.shape for img in images}
         if len(shapes) == 1:
             stack = jnp.asarray(np.stack(images))
@@ -167,155 +531,334 @@ class Frontend:
             desc = jax.vmap(describe_keypoints)(
                 stack, det["xy"], det["size"], det["mask"]
             )
-            signs_np = np.asarray(desc["signs"])  # one bulk transfer
+            stacked = {
+                "xy": det["xy"],
+                "mask": det["mask"],
+                "signs": desc["signs"],
+            }
+            # ONE bulk host fetch for all bookkeeping data
+            xy_np, size_np, mask_np, signs_np = jax.device_get(
+                (det["xy"], det["size"], det["mask"], desc["signs"])
+            )
             return [
                 {
-                    "xy": np.asarray(det["xy"][ci]),
-                    "size": np.asarray(det["size"][ci]),
-                    "score": np.asarray(det["score"][ci]),
-                    "mask": np.asarray(det["mask"][ci]),
-                    "signs": desc["signs"][ci],  # device-resident
-                    "signs_np": signs_np[ci],  # host copy for bookkeeping
-                    "packed": np.asarray(desc["packed"][ci]),
+                    "xy": xy_np[ci],
+                    "size": size_np[ci],
+                    "mask": mask_np[ci],
+                    "signs_np": signs_np[ci],
+                    "stacked": stacked,
+                    "cam": ci,
                 }
                 for ci in range(len(images))
             ]
         out = []
+        dets = []
         for ci, img in enumerate(images):
             imgj = jnp.asarray(img)
             det = detect_keypoints(imgj, self.cfg.detection)
             desc = describe_keypoints(
                 imgj, det["xy"], det["size"], det["mask"]
             )
+            dets.append((det, desc))
+        # heterogeneous rigs: no stacking; fetch per camera
+        for ci, (det, desc) in enumerate(dets):
+            xy_np, size_np, mask_np, signs_np = jax.device_get(
+                (det["xy"], det["size"], det["mask"], desc["signs"])
+            )
             out.append(
                 {
-                    "xy": np.asarray(det["xy"]),
-                    "size": np.asarray(det["size"]),
-                    "score": np.asarray(det["score"]),
-                    "mask": np.asarray(det["mask"]),
-                    "signs": desc["signs"],  # keep on device for matmuls
-                    "signs_np": np.asarray(desc["signs"]),
-                    "packed": np.asarray(desc["packed"]),
+                    "xy": xy_np,
+                    "size": size_np,
+                    "mask": mask_np,
+                    "signs_np": signs_np,
+                    "stacked": {
+                        "xy": det["xy"][None],
+                        "mask": det["mask"][None],
+                        "signs": desc["signs"][None],
+                    },
+                    "cam": ci,
                 }
             )
         return out
 
     # ------------------------------------------------------------------
+    def associate_frame(self, estimator: Estimator, images, sid: int,
+                        T_WS_pred7: np.ndarray):
+        """THE per-frame frontend entry: detection + description +
+        match-to-map + rig RANSAC + motion stereo as one fused dispatch
+        with a single flat readback, then host bookkeeping (observation
+        and landmark insertion). Returns (frames, info).
+
+        Replaces the detectAndDescribe -> matchToMap -> runRansac3d2d ->
+        matchMotionStereo sequence (Frontend.cpp:221-269, 558-1015) with
+        tunnel-friendly orchestration: ~60 ms per roundtrip means the
+        frame loop can afford exactly one."""
+        from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
+
+        cfg = self.cfg
+        self._sync_table(estimator)
+        # host descriptor copies resolve only when this frame's signs are
+        # fetched (keyframes); stale stages from non-keyframes would
+        # index into the wrong frame's keypoints, so reset per frame
+        self._desc_stage = []
+        table = self.table
+        NC = len(self.cameras)
+        N = cfg.detection.max_keypoints
+        imgs = np.stack(images)
+        dtype = jnp.float32 if imgs.dtype == np.float32 else None
+        table.ensure(DESCRIPTOR_BITS, imgs.dtype)
+
+        cap = table.capacity
+        hp = np.zeros((cap, 4), imgs.dtype)
+        hp[:, 3] = 1.0
+        lm_mask = np.zeros(cap, bool)
+        lm_init = np.zeros(cap, bool)
+        for lid, s in table.slot_of.items():
+            lm = estimator.landmarks.get(lid)
+            if lm is None:
+                continue
+            hp[s] = lm.hp_W
+            lm_mask[s] = True
+            lm_init[s] = lm.initialised
+
+        # last keyframe stacks for motion stereo
+        kf_id = self.last_keyframe_id
+        kf_frames = getattr(self, "_kf_frames", None)
+        do_ms = (
+            kf_id is not None and kf_id != sid and kf_frames is not None
+            and getattr(self, "_kf_frames_id", None) == kf_id
+            and kf_id in estimator.states
+        )
+        if do_ms:
+            kf_stacked = kf_frames[0]["stacked"]
+            kf_free = np.stack([f["mask"] for f in kf_frames]).copy()
+            for lm in estimator.landmarks.values():
+                for (s, c, kp) in lm.obs:
+                    if s == kf_id and kp < N:
+                        kf_free[c, kp] = False
+            T_WS_kf7 = estimator.states[kf_id].pose
+        else:
+            B = DESCRIPTOR_BITS
+            kf_stacked = {
+                "xy": jnp.zeros((NC, N, 2), imgs.dtype),
+                "signs": jnp.zeros((NC, N, B), imgs.dtype),
+            }
+            kf_free = np.zeros((NC, N), bool)
+            T_WS_kf7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+
+        diag, stacked = _frame_associate_device(
+            self.cameras,
+            self._next_key(),
+            jnp.asarray(imgs),
+            jnp.asarray(T_WS_pred7, imgs.dtype),
+            jnp.asarray(np.stack(self.T_SC_np), imgs.dtype),
+            jnp.asarray(hp),
+            jnp.asarray(lm_mask),
+            jnp.asarray(lm_init),
+            table.signs,
+            table.valid,
+            kf_stacked["xy"],
+            kf_stacked["signs"],
+            jnp.asarray(kf_free),
+            jnp.asarray(T_WS_kf7, imgs.dtype),
+            jnp.asarray(cfg.map_match_radius, imgs.dtype),
+            jnp.asarray(cfg.ransac_threshold_deg, imgs.dtype),
+            jnp.asarray(cfg.stereo_epipolar_gate, imgs.dtype),
+            jnp.asarray(cfg.min_depth, imgs.dtype),
+            jnp.asarray(cfg.max_depth, imgs.dtype),
+            cfg.detection,
+            cfg.matching_threshold,
+            cfg.ransac_hypotheses,
+            cfg.ransac_min_inliers,
+            cfg.use_ransac,
+            do_ms,
+        )
+        diag = np.asarray(diag)  # the frame's ONE blocking readback
+
+        # ---- decode the flat diagnostics ----
+        off = 0
+
+        def take(n, shape=None):
+            nonlocal off
+            v = diag[off:off + n]
+            off += n
+            return v.reshape(shape) if shape else v
+
+        xy = take(NC * N * 2, (NC, N, 2))
+        size = take(NC * N, (NC, N))
+        kp_mask = take(NC * N, (NC, N)) > 0.5
+        idx = take(NC * cap, (NC, cap)).astype(np.int32)
+        keep = take(NC * cap, (NC, cap)) > 0.5
+        ms_idx = take(NC * N, (NC, N)).astype(np.int32)
+        ms_hp = take(NC * N * 4, (NC, N, 4))
+        ms_good = take(NC * N, (NC, N)) > 0.5
+        n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
+
+        frames = [
+            {
+                "xy": xy[ci], "size": size[ci], "mask": kp_mask[ci],
+                "stacked": stacked, "cam": ci,
+            }
+            for ci in range(NC)
+        ]
+        self.last_ransac = {"num_inliers": n_inl, "ok": ransac_ok}
+
+        # ---- observation insertion (RANSAC survivors only) ----
+        n_matched = 0
+        for ci in range(NC):
+            fr = frames[ci]
+            for s in np.nonzero(keep[ci])[0]:
+                lid = table.lid_of.get(int(s))
+                if lid is None:
+                    continue
+                kp = int(idx[ci][s])
+                estimator.add_observation(
+                    lid, sid, ci, kp, fr["xy"][kp], fr["size"][kp]
+                )
+                table.stage_descriptor(lid, ci, kp)
+                self._desc_stage.append((lid, ci, kp))
+                n_matched += 1
+
+        # ---- motion-stereo landmark initialisation ----
+        n_ms = 0
+        if do_ms:
+            for ci in range(NC):
+                fa = kf_frames[ci]
+                fr = frames[ci]
+                for a in np.nonzero(ms_good[ci])[0]:
+                    a = int(a)
+                    b = int(ms_idx[ci][a])
+                    lid = estimator.add_landmark(
+                        ms_hp[ci][a], initialised=True
+                    )
+                    estimator.add_observation(
+                        lid, kf_id, ci, a, fa["xy"][a], fa["size"][a]
+                    )
+                    estimator.add_observation(
+                        lid, sid, ci, b, fr["xy"][b], fr["size"][b]
+                    )
+                    table.stage_descriptor(lid, ci, b)
+                    self._desc_stage.append((lid, ci, b))
+                    n_ms += 1
+        table.flush(stacked["signs"])
+        return frames, {
+            "num_matched": n_matched, "num_motion_stereo": n_ms,
+            "ransac_inliers": n_inl, "ransac_ok": ransac_ok,
+        }
+
+    def fetch_signs(self, frames):
+        """Blocking fetch of this frame's descriptors (keyframes only:
+        place recognition, loop verification and map export need host
+        copies; ~2 MB over the tunnel). Also resolves the staged
+        lm_descriptors updates."""
+        stacked = frames[0]["stacked"]
+        signs_np = np.asarray(stacked["signs"])
+        for ci, fr in enumerate(frames):
+            fr["signs_np"] = signs_np[ci]
+        for (lid, ci, kp) in self._desc_stage:
+            if kp < signs_np.shape[1]:
+                self.lm_descriptors[lid] = signs_np[ci, kp]
+        self._desc_stage = []
+        return signs_np
+
+    # ------------------------------------------------------------------
+    def _sync_table(self, estimator: Estimator):
+        """Free table slots of landmarks that no longer exist."""
+        dead = [
+            lid for lid in self.table.slot_of
+            if lid not in estimator.landmarks
+        ]
+        for lid in dead:
+            self.table.release(lid)
+            self.lm_descriptors.pop(lid, None)
+
     def match_to_map(
         self,
         estimator: Estimator,
-        frames,  # output of detect_and_describe
+        frames,
         sid: int,
-        T_WS_pred: Transformation,
+        T_WS_pred7: np.ndarray,
     ) -> dict:
-        """Project window landmarks into the predicted frame, gate by
-        image distance, Hamming-match, insert observations.
-
-        Reference: matchToMap (Frontend.cpp:1171-1719).
-        """
+        """Fused matchToMap + runRansac3d2d: one device dispatch, then
+        insert only RANSAC-surviving observations (the reference adds
+        then removes — Frontend.cpp:1388-1432; same net effect)."""
         cfg = self.cfg
-        # collect landmarks with descriptors, newest-observed first, up to
-        # the fixed matching capacity
-        lm_ids = [
-            lid
-            for lid, lm in estimator.landmarks.items()
-            if lid in self.lm_descriptors
-            and (lm.initialised or len(lm.obs) >= 1)
-        ][-cfg.map_match_capacity:]
-        n_matched_total = 0
-        matched_kp: Dict[int, np.ndarray] = {}
-        if lm_ids:
-            Lc = cfg.map_match_capacity
-            hp = np.zeros((Lc, 4))
-            hp[:, 3] = 1.0
-            hp[: len(lm_ids)] = np.stack(
-                [estimator.landmarks[l].hp_W for l in lm_ids]
-            )
-            lm_mask = np.zeros(Lc, bool)
-            lm_mask[: len(lm_ids)] = True
-            sg = np.zeros(
-                (Lc,) + self.lm_descriptors[lm_ids[0]].shape, np.float32
-            )
-            sg[: len(lm_ids)] = np.stack(
-                [self.lm_descriptors[l] for l in lm_ids]
-            )
-            hp_j = jnp.asarray(hp)
-            lm_signs = jnp.asarray(sg)
-            lm_mask_j = jnp.asarray(lm_mask)
-            for ci, cam in enumerate(self.cameras):
-                T_WC = T_WS_pred @ self.extrinsics[ci]
-                T_WC7 = jnp.concatenate([T_WC.r, T_WC.q])
-                fr = frames[ci]
-                idx_b, ok = _match_map_device(
-                    cam, T_WC7, hp_j, lm_mask_j,
-                    lm_signs.astype(fr["signs"].dtype),
-                    jnp.asarray(fr["xy"]), jnp.asarray(fr["mask"]),
-                    fr["signs"],
-                    jnp.asarray(cfg.map_match_radius, fr["signs"].dtype),
-                    cfg.matching_threshold,
-                )
-                idx_b = np.asarray(idx_b)
-                ok = np.asarray(ok)
-                for li in np.nonzero(ok)[0]:
-                    kp = int(idx_b[li])
-                    lid = lm_ids[li]
-                    estimator.add_observation(
-                        lid, sid, ci, kp,
-                        frames[ci]["xy"][kp], frames[ci]["size"][kp],
-                    )
-                    # refresh the landmark's descriptor with latest view
-                    self.lm_descriptors[lid] = frames[ci]["signs_np"][kp]
-                    matched_kp.setdefault(ci, []).append(kp)
-                    n_matched_total += 1
+        self._sync_table(estimator)
+        table = self.table
+        stacked = frames[0]["stacked"]
+        if not table.slot_of:
+            return {"num_matched": 0, "matched_kp": {}}
+        table.ensure(
+            stacked["signs"].shape[-1], stacked["signs"].dtype
+        )
 
+        cap = table.capacity
+        hp = np.zeros((cap, 4))
+        hp[:, 3] = 1.0
+        lm_mask = np.zeros(cap, bool)
+        lm_init = np.zeros(cap, bool)
+        for lid, s in table.slot_of.items():
+            lm = estimator.landmarks.get(lid)
+            if lm is None:
+                continue
+            hp[s] = lm.hp_W
+            lm_mask[s] = True
+            lm_init[s] = lm.initialised
+
+        dtype = stacked["signs"].dtype
+        idx, ok, keep, n_inl, ransac_ok = _associate_device(
+            self.cameras,
+            self._next_key(),
+            jnp.asarray(T_WS_pred7, dtype),
+            jnp.asarray(np.stack(self.T_SC_np), dtype),
+            jnp.asarray(hp, dtype),
+            jnp.asarray(lm_mask),
+            jnp.asarray(lm_init),
+            table.signs,
+            table.valid,
+            stacked["xy"],
+            stacked["mask"],
+            stacked["signs"],
+            jnp.asarray(cfg.map_match_radius, dtype),
+            jnp.asarray(cfg.ransac_threshold_deg, dtype),
+            cfg.matching_threshold,
+            cfg.ransac_hypotheses,
+            cfg.ransac_min_inliers,
+            cfg.use_ransac,
+        )
+        idx, keep, n_inl, ransac_ok = jax.device_get(
+            (idx, keep, n_inl, ransac_ok)
+        )
+        self.last_ransac = {
+            "num_inliers": int(n_inl), "ok": bool(ransac_ok)
+        }
+
+        n_matched_total = 0
+        matched_kp: Dict[int, list] = {}
+        for ci in range(len(self.cameras)):
+            fr = frames[ci]
+            for s in np.nonzero(keep[ci])[0]:
+                lid = table.lid_of.get(int(s))
+                if lid is None:
+                    continue
+                kp = int(idx[ci][s])
+                estimator.add_observation(
+                    lid, sid, ci, kp, fr["xy"][kp], fr["size"][kp]
+                )
+                self.lm_descriptors[lid] = fr["signs_np"][kp]
+                table.stage_descriptor(lid, ci, kp)
+                matched_kp.setdefault(ci, []).append(kp)
+                n_matched_total += 1
+        table.flush(stacked["signs"])
         return {"num_matched": n_matched_total, "matched_kp": matched_kp}
 
     # ------------------------------------------------------------------
     def ransac_3d2d(self, estimator: Estimator, sid: int, frames,
-                    T_WS_pred: Transformation):
-        """Remove obviously-wrong associations with absolute-pose RANSAC
-        (runRansac3d2d, Frontend.cpp:2208-2278). Operates per camera on
-        this frame's observations of initialised landmarks."""
-        cfg = self.cfg
-        removed = 0
-        for ci, cam in enumerate(self.cameras):
-            obs = []
-            for lid, lm in estimator.landmarks.items():
-                for (s, c, kp), (u, v, size) in lm.obs.items():
-                    if s == sid and c == ci and lm.initialised:
-                        obs.append((lid, kp, u, v))
-            if len(obs) < max(cfg.ransac_min_inliers, 8):
-                continue
-            # fixed-capacity padding: variable correspondence counts would
-            # recompile the RANSAC program every frame
-            cap = cfg.detection.max_keypoints
-            obs = obs[:cap]
-            n = len(obs)
-            pts = np.zeros((cap, 3))
-            pts[:n] = np.stack([
-                estimator.landmarks[lid].hp_W[:3]
-                / max(estimator.landmarks[lid].hp_W[3], 1e-12)
-                for lid, _, _, _ in obs
-            ])
-            uv = np.zeros((cap, 2))
-            uv[:n] = np.stack([[u, v] for _, _, u, v in obs])
-            mask = np.zeros(cap, bool)
-            mask[:n] = True
-            rays = np.asarray(cam.back_project(jnp.asarray(uv)))
-            res = ransac_absolute_pose(
-                self._next_key(),
-                jnp.asarray(pts),
-                jnp.asarray(rays),
-                jnp.asarray(mask),
-            )
-            if not bool(res["ok"]):
-                continue
-            inl = np.asarray(res["inliers"])
-            for i, (lid, kp, _, _) in enumerate(obs):
-                if not inl[i]:
-                    estimator.remove_observation(lid, sid, ci, kp)
-                    removed += 1
-        return removed
+                    T_WS_pred) -> int:
+        """Kept for API parity: outlier rejection now happens inside the
+        fused match_to_map dispatch (RANSAC-surviving observations are
+        the only ones inserted), so there is nothing left to remove."""
+        return 0
 
     # ------------------------------------------------------------------
     def match_stereo(self, estimator: Estimator, frames, sid: int):
@@ -325,9 +868,6 @@ class Frontend:
         if len(self.cameras) < 2:
             return 0
         rec = estimator.states[sid]
-        T_WS = Transformation(
-            r=jnp.asarray(rec.pose[:3]), q=jnp.asarray(rec.pose[3:7])
-        )
         n_new = 0
         used = {
             (c, kp)
@@ -337,36 +877,38 @@ class Frontend:
         }
         ci, cj = 0, 1
         fa, fb = frames[ci], frames[cj]
-        # don't re-use keypoints already matched to the map
-        free_a = np.asarray(fa["mask"]).copy()
+        stacked = fa["stacked"]
+        free_a = fa["mask"].copy()
+        free_b = fb["mask"].copy()
         for (c, kp) in used:
             if c == ci:
                 free_a[kp] = False
-        free_b = np.asarray(fb["mask"]).copy()
-        for (c, kp) in used:
-            if c == cj:
+            elif c == cj:
                 free_b[kp] = False
 
-        T_WA = T_WS @ self.extrinsics[ci]
-        T_WB = T_WS @ self.extrinsics[cj]
+        T_WA7 = se3_np.compose7(rec.pose, self.T_SC_np[ci])
+        T_WB7 = se3_np.compose7(rec.pose, self.T_SC_np[cj])
+        dtype = stacked["signs"].dtype
+        f0 = float(np.asarray(self.cameras[ci].focal).ravel()[0])
         idx_b, hp_W, good, parallel = _stereo_device(
             self.cameras[ci], self.cameras[cj],
-            jnp.concatenate([T_WA.r, T_WA.q]),
-            jnp.concatenate([T_WB.r, T_WB.q]),
-            jnp.asarray(fa["xy"]), fa["signs"], jnp.asarray(free_a),
-            jnp.asarray(fb["xy"]), fb["signs"], jnp.asarray(free_b),
-            jnp.asarray(cfg.stereo_epipolar_gate / 460.0),
-            jnp.asarray(cfg.min_depth), jnp.asarray(cfg.max_depth),
-            cfg.matching_threshold, True,
+            jnp.asarray(T_WA7, dtype), jnp.asarray(T_WB7, dtype),
+            stacked["xy"], stacked["signs"],
+            jnp.asarray(free_a), jnp.asarray(free_b),
+            jnp.asarray(cfg.stereo_epipolar_gate / f0, dtype),
+            jnp.asarray(cfg.min_depth, dtype),
+            jnp.asarray(cfg.max_depth, dtype),
+            ci, cj, cfg.matching_threshold, True,
         )
-        hp_W = np.asarray(hp_W)
-        good = np.asarray(good)
-        parallel = np.asarray(parallel)
-        idx_b = np.asarray(idx_b)
+        hp_W, good, parallel, idx_b = jax.device_get(
+            (hp_W, good, parallel, idx_b)
+        )
         for a in np.nonzero(good)[0]:
             a = int(a)
             b = int(idx_b[a])
-            lid = estimator.add_landmark(hp_W[a], initialised=not parallel[a])
+            lid = estimator.add_landmark(
+                hp_W[a], initialised=not parallel[a]
+            )
             estimator.add_observation(
                 lid, sid, ci, a, fa["xy"][a], fa["size"][a]
             )
@@ -374,16 +916,15 @@ class Frontend:
                 lid, sid, cj, b, fb["xy"][b], fb["size"][b]
             )
             self.lm_descriptors[lid] = fa["signs_np"][a]
+            self.table.stage_descriptor(lid, ci, a)
             n_new += 1
+        self.table.flush(stacked["signs"])
         return n_new
 
     # ------------------------------------------------------------------
     def match_motion_stereo(self, estimator: Estimator, frames, sid: int):
         """Temporal landmark initialisation against the last keyframe
-        (matchMotionStereo, Frontend.cpp:1733-1978): match this frame's
-        still-unmatched keypoints to the last keyframe's stored frame
-        data per camera, epipolar-gate with the current pose estimates,
-        and triangulate over the temporal baseline."""
+        (matchMotionStereo, Frontend.cpp:1733-1978)."""
         cfg = self.cfg
         kf_id = self.last_keyframe_id
         if kf_id is None or kf_id == sid:
@@ -393,12 +934,6 @@ class Frontend:
             return 0
         rec_new = estimator.states[sid]
         rec_kf = estimator.states[kf_id]
-        T_WS_new = Transformation(
-            r=jnp.asarray(rec_new.pose[:3]), q=jnp.asarray(rec_new.pose[3:7])
-        )
-        T_WS_kf = Transformation(
-            r=jnp.asarray(rec_kf.pose[:3]), q=jnp.asarray(rec_kf.pose[3:7])
-        )
         used_new = {
             (c, kp)
             for lm in estimator.landmarks.values()
@@ -415,33 +950,37 @@ class Frontend:
         for ci, cam in enumerate(self.cameras):
             fa = kf_frames[ci]
             fb = frames[ci]
-            T_WA = T_WS_kf @ self.extrinsics[ci]
-            T_WB = T_WS_new @ self.extrinsics[ci]
-            T_AB = T_WA.inverse() @ T_WB
-            baseline = float(jnp.linalg.norm(T_AB.r))
+            T_WA7 = se3_np.compose7(rec_kf.pose, self.T_SC_np[ci])
+            T_WB7 = se3_np.compose7(rec_new.pose, self.T_SC_np[ci])
+            baseline = np.linalg.norm(T_WB7[:3] - T_WA7[:3])
             if baseline < 0.02:  # no parallax yet
                 continue
-            free_a = np.asarray(fa["mask"]).copy()
+            free_a = fa["mask"].copy()
             for (c, kp) in used_kf:
                 if c == ci and kp < len(free_a):
                     free_a[kp] = False
-            free_b = np.asarray(fb["mask"]).copy()
+            free_b = fb["mask"].copy()
             for (c, kp) in used_new:
                 if c == ci and kp < len(free_b):
                     free_b[kp] = False
-            idx_b, hp_W, good, parallel = _stereo_device(
-                cam, cam,
-                jnp.concatenate([T_WA.r, T_WA.q]),
-                jnp.concatenate([T_WB.r, T_WB.q]),
-                jnp.asarray(fa["xy"]), fa["signs"], jnp.asarray(free_a),
-                jnp.asarray(fb["xy"]), fb["signs"], jnp.asarray(free_b),
-                jnp.asarray(cfg.stereo_epipolar_gate / 460.0),
-                jnp.asarray(cfg.min_depth), jnp.asarray(cfg.max_depth),
-                cfg.matching_threshold, False,
+            dtype = fb["stacked"]["signs"].dtype
+            f0 = float(np.asarray(cam.focal).ravel()[0])
+            # keyframe descriptors live in the OLD stacked arrays; pass
+            # both frames' stacks? motion stereo matches old-frame cam ci
+            # against new-frame cam ci: concatenate stacks would recompile
+            # on the pair; instead index both from their own stacks
+            idx_b, hp_W, good, parallel = _stereo_motion_device(
+                cam,
+                jnp.asarray(T_WA7, dtype), jnp.asarray(T_WB7, dtype),
+                fa["stacked"]["xy"], fa["stacked"]["signs"],
+                fb["stacked"]["xy"], fb["stacked"]["signs"],
+                jnp.asarray(free_a), jnp.asarray(free_b),
+                jnp.asarray(cfg.stereo_epipolar_gate / f0, dtype),
+                jnp.asarray(cfg.min_depth, dtype),
+                jnp.asarray(cfg.max_depth, dtype),
+                ci, cfg.matching_threshold,
             )
-            hp_W = np.asarray(hp_W)
-            good = np.asarray(good)
-            idx_b = np.asarray(idx_b)
+            hp_W, good, idx_b = jax.device_get((hp_W, good, idx_b))
             for a in np.nonzero(good)[0]:
                 a = int(a)
                 b = int(idx_b[a])
@@ -453,7 +992,10 @@ class Frontend:
                     lid, sid, ci, b, fb["xy"][b], fb["size"][b]
                 )
                 self.lm_descriptors[lid] = fb["signs_np"][b]
+                self.table.stage_descriptor(lid, ci, b)
                 n_new += 1
+        if n_new:
+            self.table.flush(frames[0]["stacked"]["signs"])
         return n_new
 
     def remember_keyframe_frames(self, sid: int, frames):
@@ -509,3 +1051,53 @@ class Frontend:
                 matched_cells.add((ci, int(x * g / W), int(y * g / H)))
             total += g * g
         return len(matched_cells) / max(total, 1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ci", "max_distance")
+)
+def _stereo_motion_device(
+    cam,
+    T_WA7: jnp.ndarray,
+    T_WB7: jnp.ndarray,
+    xy_a_all: jnp.ndarray,  # [NC,N,2] OLD keyframe stack
+    signs_a_all: jnp.ndarray,
+    xy_b_all: jnp.ndarray,  # [NC,N,2] NEW frame stack
+    signs_b_all: jnp.ndarray,
+    free_a: jnp.ndarray,
+    free_b: jnp.ndarray,
+    epi_gate: jnp.ndarray,
+    min_depth: jnp.ndarray,
+    max_depth: jnp.ndarray,
+    ci: int,
+    max_distance: int,
+):
+    """Motion stereo: same camera across time (old keyframe vs now)."""
+    xy_a, xy_b = xy_a_all[ci], xy_b_all[ci]
+    signs_a, signs_b = signs_a_all[ci], signs_b_all[ci]
+    T_WA = Transformation(r=T_WA7[:3], q=T_WA7[3:7])
+    T_WB = Transformation(r=T_WB7[:3], q=T_WB7[3:7])
+    rays_a = cam.back_project(xy_a)
+    rays_b = cam.back_project(xy_b)
+    T_AB = T_WA.inverse() @ T_WB
+    rays_b_in_a = (T_AB.C @ rays_b.T).T
+    n_plane = jnp.cross(jnp.broadcast_to(T_AB.r, rays_a.shape), rays_a)
+    n_plane = n_plane / (
+        jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
+    )
+    epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
+    gate = epi < epi_gate
+    m = match_descriptors(
+        signs_a, free_a, signs_b, free_b,
+        max_distance=max_distance, gate=gate,
+    )
+    bi_full = jnp.where(m["valid"], m["idx_b"], 0)
+    hp_W, valid_t, parallel = triangulate_in_frames(
+        T_WA, T_WB, rays_a, rays_b[bi_full]
+    )
+    p_A = jax.vmap(T_WA.inverse().apply_homogeneous)(hp_W)
+    safe_w = jnp.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
+    depth = p_A[:, 2] / safe_w
+    depth_ok = (depth > min_depth) & (depth < max_depth)
+    good = m["valid"] & valid_t & ~parallel & depth_ok
+    return m["idx_b"], hp_W, good, parallel

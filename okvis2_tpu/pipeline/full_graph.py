@@ -13,27 +13,43 @@ rigid re-anchoring) is the subtlest machinery in the codebase. On TPU
 the equivalent full-graph solve is a single fixed-shape device program
 that runs in milliseconds at realistic session sizes, so we run it
 *inline* right after a verified loop closure and write results straight
-back — no replica, no backlog, same math: all keyframes chained by
-merged IMU links + marginalisation two-pose edges + the new loop-closure
-relative-pose edge, solved together. Landmark reactivation
-(convertToObservations) for final BA uses the edges' stored
-observations (PoseGraphEdge.stored_obs).
+back — no replica, no backlog, same math.
+
+Loop-closure fidelity (matching the reference mechanisms):
+- geometric verification returns the matched landmark pairs and a
+  GN-refined pose whose 6x6 Hessian becomes the edge information
+  (verifyRecognisedPlace + mini ceres solve, Frontend.cpp:271-555);
+- a drift-error-budget acceptance test rejects place matches whose
+  implied correction exceeds what odometry drift can explain
+  (ViSlamBackend.cpp:2131-2153);
+- the accepted correction is DISTRIBUTED over the loop's states by
+  path-length-weighted slerp before solving (ViSlamBackend.cpp:2160-2200),
+  with landmarks rigidly following their anchor keyframe;
+- duplicate landmarks re-observed through the loop are merged
+  (Frontend.cpp:853-879 -> ViSlamBackend::mergeLandmark :1685);
+- stored observations of marginalisation edges inside the loop span are
+  re-activated (convertToObservations at loop closure,
+  ViSlamBackend.cpp:1284-1409) so the full-graph solve is a real bundle
+  adjustment over the loop, not pose-graph-only;
+- the full problem GROWS in powers of two instead of silently
+  truncating old keyframes.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from okvis2_tpu.core import so3
+from okvis2_tpu.core import se3_np
 from okvis2_tpu.core.se3 import Transformation
 from okvis2_tpu.frontend.bow import BinaryVocabulary, PlaceRecognitionDatabase
 from okvis2_tpu.frontend.matching import match_descriptors
-from okvis2_tpu.frontend.ransac import ransac_absolute_pose
+from okvis2_tpu.frontend.p3p import ransac_rig_pose
+from okvis2_tpu.frontend.pose_refine import refine_pose_hessian
 from okvis2_tpu.graph.estimator import Estimator, PoseGraphEdge
 from okvis2_tpu.solver.gauss_newton import solve_window
 from okvis2_tpu.solver.window_problem import SolverConfig, WindowProblem
@@ -50,11 +66,28 @@ class LoopClosureConfig:
     verify_match_threshold: int = 80  # Hamming, wider than tracking
     verify_capacity: int = 512  # fixed landmark-candidate slots per verify
     exclude_recent: int = 10  # don't match against the last N keyframes
-    full_graph_slots: int = 128
-    full_graph_rel_slots: int = 256
     full_graph_iterations: int = 15  # config/euroc.yaml:85
     vocabulary_size: int = 512
     min_train_descriptors: int = 2000
+    # drift error budget (ViSlamBackend.cpp:2135-2140): positional
+    # 1.35 %/m of travelled path + 2 % scale + noise/sqrt(steps);
+    # rotational (4e-4 + 4e-3/sqrt(steps)) rad per step
+    drift_pos_per_m: float = 0.0135
+    drift_pos_scale: float = 0.02
+    drift_pos_noise: float = 0.08
+    drift_rot_per_step: float = 0.0004
+    drift_rot_noise: float = 0.004
+    check_drift_budget: bool = True
+    reactivate_observations: bool = True
+    max_reactivated_landmarks: int = 4096
+    max_reactivated_obs: int = 16384
+
+
+def _pow2_at_least(n: int, floor: int) -> int:
+    s = floor
+    while s < n:
+        s *= 2
+    return s
 
 
 class LoopClosureBackend:
@@ -63,6 +96,10 @@ class LoopClosureBackend:
     def __init__(self, cameras, extrinsics, config: LoopClosureConfig = LoopClosureConfig()):
         self.cameras = tuple(cameras)
         self.extrinsics = list(extrinsics)
+        self.T_SC_np = np.stack([
+            np.concatenate([np.asarray(T.r), np.asarray(T.q)])
+            for T in extrinsics
+        ])
         self.cfg = config
         self.voc: Optional[BinaryVocabulary] = None
         self.db: Optional[PlaceRecognitionDatabase] = None
@@ -71,6 +108,7 @@ class LoopClosureBackend:
         self._kf_data: dict = {}
         self._key = jax.random.PRNGKey(7)
         self.num_loop_closures = 0
+        self.num_rejected_by_budget = 0
         # debug/introspection: last query results + last verify diagnosis
         self.last_query_results = []
         self.last_verify_info = ""
@@ -84,9 +122,7 @@ class LoopClosureBackend:
         """Register a keyframe for place recognition (reference: DBoW
         database.add of cam0 descriptors)."""
         f0 = frames[0]
-        signs = f0.get("signs_np")
-        if signs is None:
-            signs = np.asarray(f0["signs"])
+        signs = f0["signs_np"]
         mask = np.asarray(f0["mask"])
         self._kf_data[sid] = {
             "signs": signs,
@@ -117,22 +153,24 @@ class LoopClosureBackend:
             return None
         f0 = frames[0]
         results = self.db.query(
-            np.asarray(f0["signs"]),
+            f0["signs_np"],
             np.asarray(f0["mask"]),
             exclude_recent=self.cfg.exclude_recent,
             min_score=self.cfg.min_score,
         )
         self.last_query_results = results[:5]
         for old_id, score in results[:3]:
-            T = self._verify(estimator, old_id, sid, frames)
-            if T is not None:
+            v = self._verify(estimator, old_id, sid, frames)
+            if v is not None:
                 return old_id
         return None
 
     def _verify(self, estimator: Estimator, old_id: int, sid: int, frames):
         """Geometric verification (verifyRecognisedPlace,
         Frontend.cpp:271-555): match current cam0 descriptors against the
-        old keyframe's landmarks and run absolute-pose RANSAC."""
+        old keyframe's landmarks, absolute-pose RANSAC, then a GN pose
+        refine whose 6x6 Hessian is the edge information. Returns dict
+        {T_SW7, H, sqrt_info, pairs} or None."""
         cfg = self.cfg
         old = self._kf_data.get(old_id)
         if old is None:
@@ -178,7 +216,7 @@ class LoopClosureBackend:
         m = match_descriptors(
             jnp.asarray(sg),
             jnp.asarray(sel_mask),
-            f0["signs"],
+            jnp.asarray(f0["signs_np"]),
             jnp.asarray(f0["mask"]),
             max_distance=cfg.verify_match_threshold,
         )
@@ -186,75 +224,298 @@ class LoopClosureBackend:
         if ok.sum() < cfg.min_inliers:
             self.last_verify_info = f"few desc matches {int(ok.sum())}/{n_sel}"
             return None
+        idx_np = np.asarray(m["idx_b"])
         cam0 = self.cameras[0]
-        idx_full = jnp.where(m["valid"], m["idx_b"], 0)
+        idx_full = jnp.asarray(np.where(ok, idx_np, 0))
         uv = jnp.asarray(f0["xy"])[idx_full]
         rays = cam0.back_project(uv)
-        res = ransac_absolute_pose(
+        cam_idx = jnp.zeros(cap, jnp.int32)
+        T_SC7 = jnp.asarray(self.T_SC_np)
+        res = ransac_rig_pose(
             self._next_key(),
             jnp.asarray(pts_W),
             rays,
+            cam_idx,
             jnp.asarray(ok),
+            T_SC7,
         )
         n_in = int(res["num_inliers"])
         if n_in < cfg.min_inliers or n_in < cfg.min_inlier_ratio * int(ok.sum()):
             self.last_verify_info = f"ransac inliers {n_in}/{int(ok.sum())}"
             return None
-        return res["T_CW"]
+        # GN refine on the inlier set; 6x6 Hessian = edge information
+        # (the reference's mini ceres solve, Frontend.cpp:440-530)
+        T = res["T_WS"]
+        T_WS7 = np.concatenate([np.asarray(T.r), np.asarray(T.q)])
+        T_SW7 = se3_np.inverse7(T_WS7)
+        inl = np.asarray(res["inliers"])
+        T_SW7_r, H, sqrt_info = refine_pose_hessian(
+            jnp.asarray(T_SW7),
+            jnp.asarray(pts_W),
+            rays,
+            cam_idx,
+            jnp.asarray(inl),
+            T_SC7,
+        )
+        T_SW7_r, H, sqrt_info = jax.device_get((T_SW7_r, H, sqrt_info))
+        if not np.all(np.isfinite(T_SW7_r)):
+            self.last_verify_info = "refine diverged"
+            return None
+        pairs = [
+            (sel[i][0], int(idx_np[i]))
+            for i in np.nonzero(inl[:n_sel])[0]
+        ]
+        return {
+            "T_WS7": se3_np.inverse7(np.asarray(T_SW7_r)),
+            "H": np.asarray(H),
+            "sqrt_info": np.asarray(sqrt_info),
+            "pairs": pairs,
+            "num_inliers": n_in,
+        }
+
+    # ------------------------------------------------------------------
+    def _loop_chain(self, estimator: Estimator, old_id: int, sid: int):
+        """Keyframe/pose-graph state ids from old_id to sid inclusive."""
+        ids = [
+            s for s in estimator.state_order
+            if old_id <= s <= sid and s in estimator.states
+            and (estimator.states[s].is_keyframe
+                 or estimator.states[s].is_pose_graph_frame
+                 or s in estimator.window)
+        ]
+        if old_id not in ids:
+            ids.insert(0, old_id)
+        if sid not in ids:
+            ids.append(sid)
+        return ids
+
+    def _drift_budget_ok(self, estimator, chain, T_WS_meas7, sid) -> bool:
+        """attemptLoopClosure's error-budget acceptance
+        (ViSlamBackend.cpp:2131-2153): the implied correction must be
+        explicable by accumulated odometry drift over the loop path."""
+        cfg = self.cfg
+        poses = [estimator.states[s].pose for s in chain]
+        steps = max(len(chain) - 1, 1)
+        path = float(
+            sum(np.linalg.norm(poses[k + 1][:3] - poses[k][:3])
+                for k in range(len(poses) - 1))
+        )
+        T_est = estimator.states[sid].pose
+        # discrepancy between measured and estimated CURRENT pose
+        d_pos = float(np.linalg.norm(T_WS_meas7[:3] - T_est[:3]))
+        dq = se3_np.quat_mul(se3_np.quat_conj(T_est[3:7]), T_WS_meas7[3:7])
+        d_rot = float(np.linalg.norm(se3_np.log_so3(dq)))
+        rel_norm = float(np.linalg.norm(
+            T_WS_meas7[:3] - estimator.states[chain[0]].pose[:3]
+        ))
+        budget_pos = (
+            cfg.drift_pos_per_m * path
+            + cfg.drift_pos_scale * rel_norm
+            + cfg.drift_pos_noise * path / max(np.sqrt(steps), 1.0)
+        )
+        budget_rot = (cfg.drift_rot_per_step
+                      + cfg.drift_rot_noise / np.sqrt(steps)) * steps
+        ok = d_pos <= budget_pos and d_rot <= budget_rot
+        if not ok:
+            self.last_verify_info = (
+                f"drift budget: d_pos {d_pos:.3f}>{budget_pos:.3f} or "
+                f"d_rot {d_rot:.4f}>{budget_rot:.4f} (path {path:.2f} m, "
+                f"{steps} steps)"
+            )
+        return ok
+
+    def _distribute_drift(self, estimator, chain, T_WS_meas7, sid):
+        """Spread the loop correction over the chain by path-length-
+        weighted interpolation (slerp for rotation), moving landmarks
+        rigidly with their anchor keyframe
+        (ViSlamBackend.cpp:2160-2200)."""
+        old_poses = {s: estimator.states[s].pose.copy() for s in chain}
+        T_est = estimator.states[sid].pose
+        # world-frame left correction at the loop end
+        T_corr = se3_np.compose7(T_WS_meas7, se3_np.inverse7(T_est))
+        r_c = T_corr[:3]
+        q_c = T_corr[3:7]
+        rotvec = se3_np.log_so3(q_c)
+        # cumulative path weights
+        cum = [0.0]
+        for k in range(len(chain) - 1):
+            cum.append(cum[-1] + float(np.linalg.norm(
+                estimator.states[chain[k + 1]].pose[:3]
+                - estimator.states[chain[k]].pose[:3]
+            )))
+        total = max(cum[-1], 1e-9)
+        for k, s in enumerate(chain):
+            w = cum[k] / total
+            half = 0.5 * w * rotvec
+            ang = np.linalg.norm(half)
+            q_w = (np.concatenate([half * np.sinc(ang / np.pi), [np.cos(ang)]])
+                   if ang > 0 else np.array([0.0, 0, 0, 1.0]))
+            dT = np.concatenate([w * r_c, q_w / np.linalg.norm(q_w)])
+            estimator.states[s].pose = se3_np.compose7(
+                dT, estimator.states[s].pose
+            )
+        self._reanchor_landmarks(estimator, old_poses, chain)
+        return old_poses
+
+    @staticmethod
+    def _reanchor_landmarks(estimator: Estimator, old_poses: dict, ids):
+        """Rigidly transform each landmark by its anchor keyframe's pose
+        change (one batched host computation)."""
+        idset = set(ids)
+        lm_list, anchor_of = [], []
+        for lid, lm in estimator.landmarks.items():
+            anchor = None
+            for (s, _ci, _kp) in lm.obs:
+                if s in idset:
+                    anchor = s
+                    break
+            if anchor is not None:
+                lm_list.append(lid)
+                anchor_of.append(anchor)
+        if not lm_list:
+            return
+        deltas = {}
+        for a in set(anchor_of):
+            deltas[a] = se3_np.compose7(
+                estimator.states[a].pose, se3_np.inverse7(old_poses[a])
+            )
+        for lid, a in zip(lm_list, anchor_of):
+            d = deltas[a]
+            lm = estimator.landmarks[lid]
+            hp = lm.hp_W
+            p = se3_np.quat_to_mat(d[3:7]) @ hp[:3] + d[:3] * hp[3]
+            lm.hp_W = np.concatenate([p, hp[3:4]])
+
+    def _merge_loop_landmarks(self, estimator, sid, pairs):
+        """Merge duplicate landmarks re-observed through the loop: if the
+        current frame's keypoint kp already hosts a landmark different
+        from the loop landmark, merge them (Frontend.cpp:853-879 ->
+        ViSlamBackend::mergeLandmark)."""
+        # current frame's kp -> landmark map (cam0)
+        kp_lm = {}
+        for lid, lm in estimator.landmarks.items():
+            for (s, ci, kp) in lm.obs:
+                if s == sid and ci == 0:
+                    kp_lm[kp] = lid
+        n = 0
+        for (lid_old, kp) in pairs:
+            lid_new = kp_lm.get(kp)
+            if lid_new is not None and lid_new != lid_old \
+                    and lid_old in estimator.landmarks \
+                    and lid_new in estimator.landmarks:
+                estimator.merge_landmarks(lid_old, lid_new)
+                n += 1
+            elif lid_new is None and lid_old in estimator.landmarks:
+                # new observation of the old landmark from this frame
+                # (matchToMap restricted to loop landmarks in the ref)
+                pass
+        return n
+
+    def _reactivate_loop_observations(self, estimator, chain):
+        """convertToObservations for marginalisation edges whose both
+        endpoints lie in the loop span (ViSlamBackend.cpp:1284-1409):
+        their stored reprojection errors rejoin the live problem so the
+        full-graph solve is a true BA over the loop."""
+        idset = set(chain)
+        kept, n_restored = [], 0
+        for e in estimator.pose_graph_edges:
+            if (e.kind == "marg" and e.stored_obs
+                    and e.id_i in idset and e.id_j in idset):
+                for (lid, s, ci, kp, u, v, size) in e.stored_obs:
+                    if lid in estimator.landmarks and s in estimator.states:
+                        estimator.landmarks[lid].obs[(s, ci, kp)] = (u, v, size)
+                        n_restored += 1
+            else:
+                kept.append(e)
+        estimator.pose_graph_edges = kept
+        return n_restored
 
     # ------------------------------------------------------------------
     def close_loop(self, estimator: Estimator, old_id: int, sid: int, frames):
-        """Add the loop-closure edge and solve the full pose graph.
-
-        The relative measurement comes from re-verifying (pose RANSAC);
-        the edge information is set from the RANSAC inlier count (the
-        reference refines with a mini ceres solve + 6x6 Hessian;
-        Frontend.cpp:440-530)."""
-        T_CW = self._verify(estimator, old_id, sid, frames)
-        if T_CW is None:
+        """Verify, budget-check, distribute, merge, reactivate, solve —
+        the attemptLoopClosure + addLoopClosureFrame sequence."""
+        v = self._verify(estimator, old_id, sid, frames)
+        if v is None:
             return False
-        # T_CW maps world->cam0 of current frame as seen from OLD landmarks
-        # => implied current body pose: T_WS_meas = T_WC * T_SC0^{-1}
-        T_WC = T_CW.inverse()
-        T_WS_meas = T_WC @ self.extrinsics[0].inverse()
+        T_WS_meas7 = v["T_WS7"]
+        chain = self._loop_chain(estimator, old_id, sid)
+        if self.cfg.check_drift_budget and not self._drift_budget_ok(
+                estimator, chain, T_WS_meas7, sid):
+            self.num_rejected_by_budget += 1
+            return False
+
+        # relative measurement old -> new, with Hessian-derived info
         old_rec = estimator.states[old_id]
-        T_W_old = Transformation(
-            r=jnp.asarray(old_rec.pose[:3]), q=jnp.asarray(old_rec.pose[3:7])
+        T_ij = se3_np.compose7(
+            se3_np.inverse7(old_rec.pose), T_WS_meas7
         )
-        T_old_new = T_W_old.inverse() @ T_WS_meas
-        T_ij = np.concatenate(
-            [np.asarray(T_old_new.r), np.asarray(T_old_new.q)]
-        )
-        # information: conservative diagonal scaled by inlier count
-        sqrt_info = np.diag([30.0, 30.0, 30.0, 60.0, 60.0, 60.0])
+        sqrt_info = v["sqrt_info"]
+        # scale guard: keep the edge from dwarfing the rest of the graph
+        s_max = float(np.abs(sqrt_info).max())
+        if s_max > 1e4:
+            sqrt_info = sqrt_info * (1e4 / s_max)
         estimator.pose_graph_edges.append(
             PoseGraphEdge(old_id, sid, T_ij, sqrt_info, [], "loop")
         )
         self.num_loop_closures += 1
+
+        self._merge_loop_landmarks(estimator, sid, v["pairs"])
+        self._distribute_drift(estimator, chain, T_WS_meas7, sid)
+        if self.cfg.reactivate_observations:
+            self._reactivate_loop_observations(estimator, chain)
         self.optimise_full_graph(estimator)
         return True
 
     # ------------------------------------------------------------------
     def pack_full_problem(self, estimator: Estimator):
-        """Pack ALL keyframes + pose-graph frames into a pose-graph
-        problem (IMU links via merged raw buffers + two-pose/loop edges;
-        no landmark observations — the pose-graph level of the full
-        graph)."""
+        """Pack ALL keyframes + pose-graph frames into one problem: IMU
+        chain links, two-pose/loop relative edges, AND live observations
+        of landmarks seen from >=2 packed states (reactivated loop spans
+        make this a real BA). Capacities grow in powers of two — no
+        silent truncation."""
         cfg = self.cfg
-        S = cfg.full_graph_slots
         ids = [
             s for s in estimator.state_order
-            if estimator.states[s].is_keyframe
-            or estimator.states[s].is_pose_graph_frame
-            or s in estimator.window
+            if s in estimator.states
+            and (estimator.states[s].is_keyframe
+                 or estimator.states[s].is_pose_graph_frame
+                 or s in estimator.window)
         ]
-        ids = ids[-S:]
+        S = _pow2_at_least(len(ids), 32)
         slot_of = {s: i for i, s in enumerate(ids)}
 
-        prob = WindowProblem.empty(
-            S, 4, 4, len(self.cameras), estimator.cfg.imu_seg_capacity,
-            num_rel=cfg.full_graph_rel_slots,
+        # landmarks observed by >= 2 packed states
+        lm_ids = []
+        for lid, lm in estimator.landmarks.items():
+            n = sum(1 for (s, _, _) in lm.obs if s in slot_of)
+            if n >= 2 and lm.initialised:
+                lm_ids.append(lid)
+        lm_ids = lm_ids[: cfg.max_reactivated_landmarks]
+        L = _pow2_at_least(max(len(lm_ids), 1), 64)
+        lm_slot = {lid: i for i, lid in enumerate(lm_ids)}
+
+        n_obs = 0
+        obs_rows = []
+        for lid in lm_ids:
+            for (s, ci, _kp), (u, vv, size) in estimator.landmarks[lid].obs.items():
+                if s in slot_of and n_obs < cfg.max_reactivated_obs:
+                    obs_rows.append(
+                        (slot_of[s], ci, lm_slot[lid], u, vv, 8.0 / size)
+                    )
+                    n_obs += 1
+        O = _pow2_at_least(max(n_obs, 1), 256)
+
+        n_rel = sum(
+            1 for e in estimator.pose_graph_edges
+            if e.id_i in slot_of and e.id_j in slot_of
         )
+        R = _pow2_at_least(max(n_rel, 1), 64)
+
+        prob = WindowProblem.empty(
+            S, L, O, len(self.cameras), estimator.cfg.imu_seg_capacity,
+            num_rel=R,
+        )
+        prob = jax.tree_util.tree_map(np.asarray, prob)
         pose = np.array(prob.pose)
         sb = np.array(prob.speed_bias)
         smask = np.zeros(S, bool)
@@ -264,9 +525,31 @@ class LoopClosureBackend:
             sb[i] = rec.speed_bias
             smask[i] = True
 
-        # IMU links between *consecutive packed* states where buffers chain
+        lms = np.array(prob.landmarks)
+        lmask = np.zeros(L, bool)
+        for lid, i in lm_slot.items():
+            lms[i] = estimator.landmarks[lid].hp_W
+            lmask[i] = True
+
+        o_state = np.zeros(O, np.int32)
+        o_cam = np.zeros(O, np.int32)
+        o_lm = np.zeros(O, np.int32)
+        o_uv = np.zeros((O, 2))
+        o_w = np.ones(O)
+        o_mask = np.zeros(O, bool)
+        for k, (si, ci, li, u, vv, w) in enumerate(obs_rows):
+            o_state[k] = si
+            o_cam[k] = ci
+            o_lm[k] = li
+            o_uv[k] = (u, vv)
+            o_w[k] = w
+            o_mask[k] = True
+
+        # IMU links between consecutive packed states where buffers chain
         imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)
         imu_mask = np.zeros(S - 1, bool)
+        imu_i = np.arange(S - 1, dtype=np.int32)
+        imu_j = np.arange(1, S, dtype=np.int32)
         for i in range(len(ids) - 1):
             nxt = estimator.states[ids[i + 1]]
             # the buffer on ids[i+1] spans from state nxt.imu_from; only
@@ -279,7 +562,6 @@ class LoopClosureBackend:
                 )
                 imu_mask[i] = True
 
-        R = cfg.full_graph_rel_slots
         r_i = np.zeros(R, np.int32)
         r_j = np.zeros(R, np.int32)
         r_T = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (R, 1))
@@ -305,78 +587,78 @@ class LoopClosureBackend:
 
         prob = dataclasses.replace(
             prob,
-            pose=jnp.asarray(pose),
-            speed_bias=jnp.asarray(sb),
-            extrinsics=jnp.asarray(np.stack(estimator.T_SC)),
-            state_mask=jnp.asarray(smask),
-            imu_pre=jax.tree_util.tree_map(jnp.asarray, imu_pre),
-            imu_mask=jnp.asarray(imu_mask),
-            pose_prior=jnp.asarray(pp_T),
-            pose_prior_sqrt=jnp.asarray(pp_sq),
-            pose_prior_mask=jnp.asarray(pp_m),
-            rel_i=jnp.asarray(r_i),
-            rel_j=jnp.asarray(r_j),
-            rel_T=jnp.asarray(r_T),
-            rel_sqrt=jnp.asarray(r_sq),
-            rel_mask=jnp.asarray(r_m),
+            pose=pose,
+            speed_bias=sb,
+            extrinsics=np.stack(estimator.T_SC),
+            landmarks=lms,
+            state_mask=smask,
+            lm_mask=lmask,
+            obs_state=o_state,
+            obs_cam=o_cam,
+            obs_lm=o_lm,
+            obs_uv=o_uv,
+            obs_sqrt_info=o_w,
+            obs_mask=o_mask,
+            imu_pre=imu_pre,
+            imu_i=imu_i,
+            imu_j=imu_j,
+            imu_mask=imu_mask,
+            pose_prior=pp_T,
+            pose_prior_sqrt=pp_sq,
+            pose_prior_mask=pp_m,
+            rel_i=r_i,
+            rel_j=r_j,
+            rel_T=r_T,
+            rel_sqrt=r_sq,
+            rel_mask=r_m,
         )
-        return prob, ids, slot_of
+        prob = jax.tree_util.tree_map(jnp.asarray, prob)
+        return prob, ids, slot_of, lm_ids
 
     def optimise_full_graph(self, estimator: Estimator):
-        """Solve the full pose graph and write back all included states
-        (synchroniseRealtimeAndFullGraph's write-back, without the
-        dual-graph backlog machinery — see module docstring)."""
-        prob, ids, slot_of = self.pack_full_problem(estimator)
+        """Solve the full graph and write back all included states and
+        landmarks (synchroniseRealtimeAndFullGraph's write-back, without
+        the dual-graph backlog machinery — see module docstring)."""
+        prob, ids, slot_of, lm_ids = self.pack_full_problem(estimator)
         solved, stats = solve_window(
             prob, self.cameras, estimator.imu_params,
             SolverConfig(max_iterations=self.cfg.full_graph_iterations),
         )
-        pose = np.asarray(solved.pose)
-        sb = np.asarray(solved.speed_bias)
-        # rigid re-anchor landmarks with the pose correction of their
-        # host keyframe (first observer)
+        pose, sb, lms_solved = jax.device_get(
+            (solved.pose, solved.speed_bias, solved.landmarks)
+        )
         old_poses = {s: estimator.states[s].pose.copy() for s in ids}
         for s, i in slot_of.items():
             estimator.states[s].pose = pose[i]
             estimator.states[s].speed_bias = sb[i]
-        # transform landmarks rigidly by their anchor keyframe's pose
-        # change — batched into one device call (numpy grouping on host)
-        lm_list = []
-        anchor_of = []
+        # solved landmarks come straight back; landmarks NOT in the solve
+        # follow their anchor keyframe rigidly
+        solved_set = set(lm_ids)
+        for i, lid in enumerate(lm_ids):
+            if lid in estimator.landmarks:
+                estimator.landmarks[lid].hp_W = lms_solved[i]
+        idset = set(ids)
+        rest_anchor = []
         for lid, lm in estimator.landmarks.items():
-            anchor = None
-            for (s, ci, kp) in lm.obs:
-                if s in slot_of:
-                    anchor = s
+            if lid in solved_set:
+                continue
+            for (s, _ci, _kp) in lm.obs:
+                if s in idset:
+                    rest_anchor.append((lid, s))
                     break
-            if anchor is not None:
-                lm_list.append(lid)
-                anchor_of.append(anchor)
-        if lm_list:
-            anchors = sorted(set(anchor_of))
-            a_idx = {a: i for i, a in enumerate(anchors)}
-            deltas_r = np.zeros((len(anchors), 3))
-            deltas_q = np.zeros((len(anchors), 4))
-            for a, i in a_idx.items():
-                d = _T_of(estimator.states[a].pose) @ _T_of(old_poses[a]).inverse()
-                deltas_r[i] = np.asarray(d.r)
-                deltas_q[i] = np.asarray(d.q)
-            hp_all = np.stack([estimator.landmarks[l].hp_W for l in lm_list])
-            sel = np.asarray([a_idx[a] for a in anchor_of])
-            T_batch = Transformation(
-                r=jnp.asarray(deltas_r[sel]), q=jnp.asarray(deltas_q[sel])
-            )
-            hp_new = np.asarray(T_batch.apply_homogeneous(jnp.asarray(hp_all)))
-            for l, hp in zip(lm_list, hp_new):
-                estimator.landmarks[l].hp_W = hp
+        deltas = {}
+        for lid, a in rest_anchor:
+            if a not in deltas:
+                deltas[a] = se3_np.compose7(
+                    estimator.states[a].pose, se3_np.inverse7(old_poses[a])
+                )
+            d = deltas[a]
+            lm = estimator.landmarks[lid]
+            hp = lm.hp_W
+            p = se3_np.quat_to_mat(d[3:7]) @ hp[:3] + d[:3] * hp[3]
+            lm.hp_W = np.concatenate([p, hp[3:4]])
         estimator._pre_cache.clear()
         return stats
-
-
-def _T_of(pose7: np.ndarray) -> Transformation:
-    return Transformation(
-        r=jnp.asarray(pose7[:3]), q=jnp.asarray(pose7[3:7])
-    )
 
 
 def _set_row(full: np.ndarray, i: int, one) -> np.ndarray:

@@ -151,30 +151,31 @@ class SlamSystem:
         t, images = self._image_queue.popleft()
         est = self.estimator
 
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
+        # 0. integrate the PREVIOUS frame's solve (its device->host copy
+        # has been in flight since last frame — the reference gets the
+        # same one-frame overlap from its optimisation thread, joined
+        # before matching: ThreadedSlam.cpp:466-469)
+        with SwitchableTimer("0 apply previous solve"):
+            est.apply_pending_solve()
+        if est.cfg.online_extrinsics:
+            # calibrated extrinsics feed back into the frontend's
+            # projection/epipolar geometry
+            self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
+
         imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
         self._last_frame_t = t
         sid = est.add_state(t, imu_w, imu_a, imu_dt)
         rec = est.states[sid]
-        T_WS_pred = Transformation(
-            r=jnp.asarray(rec.pose[:3]), q=jnp.asarray(rec.pose[3:7])
-        )
+        T_WS_pred7 = rec.pose  # numpy [7], IMU-propagated prediction
 
-        from okvis2_tpu.utils.timing import SwitchableTimer
-
-        # 1. detect + describe (batched device call)
-        with SwitchableTimer("1 detect+describe"):
-            frames = self.frontend.detect_and_describe(images)
-
-        # 2. data association
-        with SwitchableTimer("2.01 match to map"):
-            m = self.frontend.match_to_map(est, frames, sid, T_WS_pred)
-        if self.frontend.cfg.use_ransac and m["num_matched"] >= 8:
-            with SwitchableTimer("2.02 ransac 3d2d"):
-                self.frontend.ransac_3d2d(est, sid, frames, T_WS_pred)
-
-        # 2b. motion-stereo landmark initialisation vs last keyframe
-        with SwitchableTimer("2.03 motion stereo"):
-            self.frontend.match_motion_stereo(est, frames, sid)
+        # 1+2. detect+describe+match-to-map+rig-RANSAC+motion-stereo as
+        # ONE device dispatch with ONE readback
+        with SwitchableTimer("1 frontend (fused)"):
+            frames, m = self.frontend.associate_frame(
+                est, images, sid, T_WS_pred7
+            )
 
         # 3. keyframe decision (before stereo init, like the reference)
         is_kf = self.frontend.need_new_keyframe(est, frames, sid)
@@ -182,25 +183,34 @@ class SlamSystem:
         loop_old_id = None
         if is_kf:
             self.frontend.last_keyframe_id = sid
-            # 4. static-stereo initialisation of new landmarks
-            with SwitchableTimer("2.04 stereo init"):
+            # keyframes pay extra readbacks: descriptors for place
+            # recognition / map export, and the static-stereo results
+            with SwitchableTimer("2.05 keyframe extras"):
+                self.frontend.fetch_signs(frames)
                 self.frontend.match_stereo(est, frames, sid)
-            self.frontend.remember_keyframe_frames(sid, frames)
-            # 4b. place recognition / loop closure (Frontend.cpp:674-899)
+                self.frontend.remember_keyframe_frames(sid, frames)
+            # place recognition / loop closure (Frontend.cpp:674-899)
             if self.loop_backend is not None:
-                loop_old_id = self.loop_backend.detect_loop(est, sid, frames)
-                self.loop_backend.add_keyframe(est, sid, frames)
+                with SwitchableTimer("2.06 place recognition"):
+                    loop_old_id = self.loop_backend.detect_loop(
+                        est, sid, frames
+                    )
+                    self.loop_backend.add_keyframe(est, sid, frames)
 
-        # 5. optimise the realtime window
-        with SwitchableTimer("3 optimise"):
-            stats = est.optimise()
-
-        # 5b. loop closure: add edge + full-graph solve (inline; see
-        # full_graph.py for why no background thread is needed on TPU)
+        # 5b. loop closure first (it rewrites poses + landmarks and
+        # solves the full graph inline; the realtime dispatch below then
+        # starts from the corrected state)
         if loop_old_id is not None:
             self.loop_backend.close_loop(est, loop_old_id, sid, frames)
 
-        # 6. marginalisation strategy
+        # 5. dispatch the realtime window solve; its results integrate
+        # at the START of the next frame (no blocking here)
+        with SwitchableTimer("3 optimise dispatch"):
+            est.optimise_async()
+
+        # 6. marginalisation strategy (host bookkeeping; uses the state
+        # as of the last applied solve, like the reference's
+        # applyStrategy running in the optimisation thread)
         with SwitchableTimer("5 marginalise"):
             est.apply_marginalisation_strategy()
             est.clean_unobserved_landmarks()

@@ -152,7 +152,15 @@ def _other_residuals(problem: WindowProblem, imu_params: ImuParameters):
         & problem.state_mask[problem.rel_j],
     )  # [R,6]
 
-    return r_imu, r_pp, r_sbp, r_rel
+    # extrinsics priors (online calibration: PoseError on T_SC)
+    r_extp = jax.vmap(pp_one)(
+        problem.extrinsics,
+        problem.ext_prior,
+        problem.ext_prior_sqrt,
+        problem.ext_prior_mask,
+    )  # [NC,6]
+
+    return r_imu, r_pp, r_sbp, r_rel, r_extp
 
 
 def problem_cost(
@@ -174,7 +182,7 @@ def problem_cost(
     cost_obs = 0.5 * jnp.sum(c2 * jnp.log1p(s / c2))
     if axis_name is not None:
         cost_obs = jax.lax.psum(cost_obs, axis_name)
-    r_imu, r_pp, r_sbp, r_rel = _other_residuals(problem, imu_params)
+    r_imu, r_pp, r_sbp, r_rel, r_extp = _other_residuals(problem, imu_params)
     # landmark priors (HomogeneousPointError): sharded with the landmarks
     m_lp = problem.lm_prior_mask & problem.lm_mask
     d_lp = (problem.landmarks[:, :3] - problem.lm_prior[:, :3]) \
@@ -191,6 +199,7 @@ def problem_cost(
         + 0.5 * jnp.sum(r_pp * r_pp)
         + 0.5 * jnp.sum(r_sbp * r_sbp)
         + 0.5 * jnp.sum(r_rel * r_rel)
+        + 0.5 * jnp.sum(r_extp * r_extp)
     )
 
 
@@ -372,6 +381,19 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
         (sqd * sqd).reshape(-1)
     )
     bx = bx.at[sb_sl].add(-sqd * r_sbp)
+
+    # ---- extrinsics priors (online calibration) -----------------------
+    r_ep, J_ep = jax.vmap(pp_val_jac)(
+        problem.extrinsics, problem.ext_prior, problem.ext_prior_sqrt
+    )
+    m_ep = problem.ext_prior_mask
+    r_ep = r_ep * m_ep[:, None].astype(dtype)
+    J_ep = J_ep * m_ep[:, None, None].astype(dtype)
+    HE = jnp.einsum("cij,cik->cjk", J_ep, J_ep)  # [NC,6,6]
+    bE = -jnp.einsum("cij,ci->cj", J_ep, r_ep)  # [NC,6]
+    ext_sl = S * 15 + jnp.arange(NC * 6).reshape(NC, 6)
+    Hxx = Hxx.at[ext_sl[:, :, None], ext_sl[:, None, :]].add(HE)
+    bx = bx.at[ext_sl].add(bE)
 
     # ---- relative pose factors ---------------------------------------
     R = problem.rel_i.shape[0]

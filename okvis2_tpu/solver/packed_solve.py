@@ -96,9 +96,9 @@ class PackedLayout:
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("layout", "config"), donate_argnums=(0, 1)
-)
+# no donation: the flat inputs arrive as host numpy (donating a host
+# array is a no-op and just triggers warnings); they are tiny anyway
+@functools.partial(jax.jit, static_argnames=("layout", "config"))
 def solve_packed(
     flat_f: jnp.ndarray,
     flat_i: jnp.ndarray,
@@ -107,13 +107,39 @@ def solve_packed(
     layout: PackedLayout,
     config: SolverConfig,
 ):
-    """One dispatch: unflatten -> LM solve -> small outputs only."""
+    """One dispatch: unflatten -> LM solve -> ONE flat output array
+    (pose | speed_bias | landmarks | extrinsics | 4 stats scalars), so
+    the caller pays a single readback over the tunnel."""
     problem = layout.unflatten(flat_f, flat_i)
     solved, stats = solve_window_impl(problem, cameras, imu_params, config)
-    return (
-        solved.pose,
-        solved.speed_bias,
-        solved.landmarks,
-        solved.extrinsics,
-        stats,
-    )
+    dtype = solved.pose.dtype
+    out = jnp.concatenate([
+        solved.pose.ravel(),
+        solved.speed_bias.ravel(),
+        solved.landmarks.ravel(),
+        solved.extrinsics.ravel(),
+        jnp.stack([
+            stats["initial_cost"].astype(dtype),
+            stats["final_cost"].astype(dtype),
+            stats["iterations"].astype(dtype),
+            stats["lambda"].astype(dtype),
+        ]),
+    ])
+    return out
+
+
+def decode_solved(out, S: int, L: int, NC: int):
+    """Host-side decode of solve_packed's flat output."""
+    import numpy as np
+
+    out = np.asarray(out)
+    o = 0
+    pose = out[o:o + S * 7].reshape(S, 7); o += S * 7
+    sb = out[o:o + S * 9].reshape(S, 9); o += S * 9
+    lms = out[o:o + L * 4].reshape(L, 4); o += L * 4
+    ext = out[o:o + NC * 7].reshape(NC, 7); o += NC * 7
+    stats = {
+        "initial_cost": out[o], "final_cost": out[o + 1],
+        "iterations": out[o + 2], "lambda": out[o + 3],
+    }
+    return pose, sb, lms, ext, stats

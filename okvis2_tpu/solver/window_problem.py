@@ -98,6 +98,11 @@ class WindowProblem:
     lm_prior: jnp.ndarray  # [L,4] prior homogeneous point
     lm_prior_sqrt: jnp.ndarray  # [L] isotropic whitening (1/sigma)
     lm_prior_mask: jnp.ndarray  # [L] bool
+    # --- extrinsics priors (online calibration: PoseError on T_SC with
+    # sigma_r/sigma_alpha, okvis_common Parameters.hpp:57-100) ----------
+    ext_prior: jnp.ndarray  # [NC,7]
+    ext_prior_sqrt: jnp.ndarray  # [NC,6,6]
+    ext_prior_mask: jnp.ndarray  # [NC] bool
 
     _FIELDS = (
         "pose", "speed_bias", "extrinsics", "landmarks",
@@ -108,6 +113,7 @@ class WindowProblem:
         "sb_prior", "sb_prior_sqrt", "sb_prior_mask",
         "rel_i", "rel_j", "rel_T", "rel_sqrt", "rel_mask",
         "lm_prior", "lm_prior_sqrt", "lm_prior_mask",
+        "ext_prior", "ext_prior_sqrt", "ext_prior_mask",
     )
 
     def tree_flatten(self):
@@ -214,4 +220,11 @@ class WindowProblem:
             lm_prior=lm,
             lm_prior_sqrt=jnp.ones((L,), dtype),
             lm_prior_mask=jnp.zeros((L,), bool),
+            ext_prior=jnp.concatenate(
+                [_z((NC, 3), dtype),
+                 jnp.tile(jnp.asarray([0.0, 0, 0, 1.0], dtype), (NC, 1))],
+                axis=-1,
+            ),
+            ext_prior_sqrt=_z((NC, 6, 6), dtype),
+            ext_prior_mask=jnp.zeros((NC,), bool),
         )

@@ -96,10 +96,70 @@ def test_full_graph_pack_includes_edges(rig):
                       np.array([0.1, 0, 0, 0, 0, 0, 1.0]),
                       np.eye(6) * 10, [], "loop")
     )
-    lc = LoopClosureBackend(cams, exts, LoopClosureConfig(full_graph_slots=8))
-    prob, ids, slot_of = lc.pack_full_problem(est)
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    prob, ids, slot_of, lm_ids = lc.pack_full_problem(est)
     assert len(ids) == 4
     assert int(np.asarray(prob.rel_mask).sum()) == 1
     assert int(np.asarray(prob.imu_mask).sum()) == 3
     stats = lc.optimise_full_graph(est)
     assert np.isfinite(float(stats["final_cost"]))
+
+
+def test_drift_budget_rejects_false_positive(rig):
+    """attemptLoopClosure's error budget (ViSlamBackend.cpp:2131-2153):
+    a place match implying a correction larger than accumulated odometry
+    drift can explain must be rejected; a plausible one accepted."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params, EstimatorConfig())
+    sids = []
+    for i in range(10):
+        sid = est.add_state(i * 0.5, np.full((8, 3), 0.001),
+                            np.tile([0, 0, 9.81], (8, 1)),
+                            np.full(8, 0.0625))
+        est.states[sid].pose = np.array(
+            [0.3 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+        )
+        est.set_keyframe(sid, True)
+        sids.append(sid)
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    chain = lc._loop_chain(est, sids[0], sids[-1])
+    # path length = 2.7 m, 9 steps -> pos budget ~ 0.17 m
+    # plausible correction: 5 cm off the estimate
+    T_meas_good = est.states[sids[-1]].pose.copy()
+    T_meas_good[0] += 0.05
+    assert lc._drift_budget_ok(est, chain, T_meas_good, sids[-1])
+    # false positive: implies a 2 m teleport
+    T_meas_bad = est.states[sids[-1]].pose.copy()
+    T_meas_bad[1] += 2.0
+    assert not lc._drift_budget_ok(est, chain, T_meas_bad, sids[-1])
+    # rotational false positive: ~0.5 rad twist
+    T_meas_rot = est.states[sids[-1]].pose.copy()
+    T_meas_rot[3:7] = np.array([0.247, 0, 0, 0.969])
+    assert not lc._drift_budget_ok(est, chain, T_meas_rot, sids[-1])
+
+
+def test_loop_reactivates_stored_observations(rig):
+    """convertToObservations at loop closure (ViSlamBackend.cpp:1284-1409):
+    marginalisation edges inside the loop span give their stored
+    reprojection errors back to the live problem."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params, EstimatorConfig())
+    sids = []
+    for i in range(4):
+        sid = est.add_state(i * 0.5, np.full((8, 3), 0.001),
+                            np.tile([0, 0, 9.81], (8, 1)),
+                            np.full(8, 0.0625))
+        est.set_keyframe(sid, True)
+        sids.append(sid)
+    lid = est.add_landmark(np.array([0.0, 0, 5.0, 1.0]), initialised=True)
+    stored = [(lid, sids[1], 0, 7, 100.0, 120.0, 9.0)]
+    est.pose_graph_edges.append(
+        PoseGraphEdge(sids[0], sids[1],
+                      np.array([0.1, 0, 0, 0, 0, 0, 1.0]),
+                      np.eye(6) * 10, stored, "marg")
+    )
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    n = lc._reactivate_loop_observations(est, sids)
+    assert n == 1
+    assert (sids[1], 0, 7) in est.landmarks[lid].obs
+    assert not est.pose_graph_edges  # the converted edge is gone
