@@ -85,10 +85,14 @@ def _dlt_pose(points_W: jnp.ndarray, rays_C: jnp.ndarray):
         X = 0.5 * (X + inv3x3(X).T)
     R = X
     t = t_raw / safe_scale
-    # disambiguate overall sign: points must be mostly in front
+    # NOTE: after det-normalising R there is no remaining sign freedom
+    # (the null vector's global sign flips R and t together, and the
+    # sign of det fixes it), so no cheirality flip is applied here —
+    # behind-camera hypotheses simply score zero inliers in the RANSAC
+    # (angular scoring) and are rejected.
     z = (points_W @ R.T + t)[:, 2]
-    flip = jnp.sum(jnp.sign(z)) < 0
-    return R, jnp.where(flip, -t, t), flip
+    in_front = jnp.sum(jnp.sign(z)) >= 0
+    return R, t, ~in_front
 
 
 @functools.partial(jax.jit, static_argnames=("n_hyp", "sample_size"))
@@ -175,16 +179,14 @@ def ransac_rotation_only(
 
 
 def _essential_8pt(rays_A: jnp.ndarray, rays_B: jnp.ndarray):
-    """Essential matrix from >=8 bearing pairs (normalized 8-point)."""
-    K = rays_A.shape[0]
-    a = rays_A / rays_A[..., 2:3]
-    b = rays_B / rays_B[..., 2:3]
-    x1, y1 = a[:, 0], a[:, 1]
-    x2, y2 = b[:, 0], b[:, 1]
-    one = jnp.ones_like(x1)
-    A = jnp.stack(
-        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one], axis=-1
-    )  # [K,9]
+    """Essential matrix from >=8 bearing pairs (8-point directly on UNIT
+    bearings: b^T E a = 0 without plane normalisation, so rays with
+    z <= 0 — in-FOV for >180 deg fisheye rigs like tumvi equidistant —
+    stay well-conditioned, matching opengv's bearing formulation)."""
+    a = rays_A
+    b = rays_B
+    # row = kron(b, a)
+    A = jnp.einsum("ki,kj->kij", b, a).reshape(-1, 9)  # [K,9]
     E = _null_vector(A.T @ A).reshape(3, 3)
     # enforce rank-2 with equal singular values
     u, s, vt2 = jnp.linalg.svd(E)
@@ -198,27 +200,26 @@ def ransac_relative_pose(
     rays_A: jnp.ndarray,
     rays_B: jnp.ndarray,
     mask: jnp.ndarray,
-    threshold: float = 2e-3,  # Sampson-like epipolar residual on unit-plane
+    threshold: float = 2e-3,  # angular epipolar residual [rad] (~1px@f500)
     n_hyp: int = 256,
     sample_size: int = 8,
 ):
     """Relative-pose (essential-matrix) RANSAC — stands in for the
     reference's Stewenius 5-pt (Frontend.cpp:2311-2330); the 8-pt solver
     batches as one SVD and the extra 3 samples are covered by hypothesis
-    count. Returns the best essential matrix + inliers; callers decompose
-    E and triangulate to disambiguate."""
+    count. Residuals are ANGULAR (sine of the bearing's angle out of the
+    epipolar plane), valid for any FOV. Returns the best essential
+    matrix + inliers; callers decompose E and triangulate."""
     N = rays_A.shape[0]
     w = mask.astype(rays_A.dtype)
     idx = _sample_indices(key, n_hyp, sample_size, N, w)
     Es = jax.vmap(lambda ii: _essential_8pt(rays_A[ii], rays_B[ii]))(idx)
 
-    a = rays_A / rays_A[..., 2:3]
-    b = rays_B / rays_B[..., 2:3]
-    Ea = jnp.einsum("hij,nj->hni", Es, a)
-    Etb = jnp.einsum("hji,nj->hni", Es, b)
-    num = jnp.einsum("ni,hni->hn", b, Ea) ** 2
+    Ea = jnp.einsum("hij,nj->hni", Es, rays_A)
+    Etb = jnp.einsum("hji,nj->hni", Es, rays_B)
+    num = jnp.einsum("ni,hni->hn", rays_B, Ea) ** 2
     den = (
-        Ea[..., 0] ** 2 + Ea[..., 1] ** 2 + Etb[..., 0] ** 2 + Etb[..., 1] ** 2
+        jnp.sum(Ea * Ea, -1) + jnp.sum(Etb * Etb, -1)
     )
     sampson = num / (den + 1e-18)
     inl = (sampson < threshold * threshold) & mask[None, :]

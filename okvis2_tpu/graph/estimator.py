@@ -117,7 +117,8 @@ class StateRecord:
 
 
 class LandmarkRecord:
-    __slots__ = ("id", "hp_W", "quality", "initialised", "obs")
+    __slots__ = ("id", "hp_W", "quality", "initialised", "obs",
+                 "info_scale")
 
     def __init__(self, lid, hp_W):
         self.id = lid
@@ -126,6 +127,9 @@ class LandmarkRecord:
         self.initialised = False
         # obs: (state_id, cam_idx, kp_idx) -> (u, v, size)
         self.obs: Dict[Tuple[int, int, int], Tuple[float, float, float]] = {}
+        # CNN suppression: information scale on ALL observations of this
+        # landmark (sky/person -> 1e-4, Frontend.cpp:986-1011)
+        self.info_scale = 1.0
 
 
 class PoseGraphEdge:
@@ -417,13 +421,17 @@ class Estimator:
         o_mask = np.zeros(O, bool)
         k = 0
         for lid in lm_ids:
-            for (sid2, ci, _kp), (u, v, size) in self.landmarks[lid].obs.items():
+            lm = self.landmarks[lid]
+            # CNN suppression: information x info_scale => sqrt-info x
+            # sqrt(info_scale) (Frontend.cpp:986-1011)
+            w_scale = float(np.sqrt(lm.info_scale))
+            for (sid2, ci, _kp), (u, v, size) in lm.obs.items():
                 if sid2 in slot_of and k < O:
                     o_state[k] = slot_of[sid2]
                     o_cam[k] = ci
                     o_lm[k] = lm_slot[lid]
                     o_uv[k] = (u, v)
-                    o_w[k] = 8.0 / size
+                    o_w[k] = 8.0 / size * w_scale
                     o_mask[k] = True
                     k += 1
 
@@ -886,6 +894,70 @@ class Estimator:
         # remove this frame's observations from the live graph
         self._strip_observations(sid)
         rec.is_pose_graph_frame = True
+
+    def reactivate_loop_states(self, chain: List[int]):
+        """Re-admit the oldest `num_loop_closure_frames` states of a
+        closed loop into the realtime window, unfrozen — the
+        addLoopClosureFrame loop-span unfreeze + window-composition role
+        of numLoopClosureFrames (ViSlamBackend.cpp:1284-1409,
+        config/euroc.yaml:77)."""
+        n = self.cfg.num_loop_closure_frames
+        if n <= 0:
+            return 0
+        added = 0
+        for sid in chain[:n]:
+            rec = self.states.get(sid)
+            if rec is None:
+                continue
+            rec.frozen = False
+            if sid not in self.window:
+                rec.in_window = True
+                # keep the window time-ordered
+                pos = 0
+                while pos < len(self.window) and self.window[pos] < sid:
+                    pos += 1
+                self.window.insert(pos, sid)
+                added += 1
+        return added
+
+    def expand_keyframe(self, sid: int, min_shared: int = 12) -> bool:
+        """Frontier re-activation (expandKeyframe,
+        ViSlamBackend.cpp:357-406): when the current keyframe re-observes
+        landmarks stored in a pose-graph frame's marginalisation edge,
+        convert that edge back into live observations and return the
+        frame to the window."""
+        lms_cur = {
+            lid for lid, lm in self.landmarks.items()
+            if any(k[0] == sid for k in lm.obs)
+        }
+        if not lms_cur:
+            return False
+        best, best_n = None, 0
+        for e in self.pose_graph_edges:
+            if e.kind != "marg" or not e.stored_obs:
+                continue
+            target = e.id_j
+            if target in self.window or target not in self.states:
+                continue
+            n = sum(1 for o in e.stored_obs if o[0] in lms_cur)
+            if n > best_n:
+                best, best_n = e, n
+        if best is None or best_n < min_shared:
+            return False
+        for (lid, s, ci, kp, u, v, size) in best.stored_obs:
+            if lid in self.landmarks and s in self.states:
+                self.landmarks[lid].obs[(s, ci, kp)] = (u, v, size)
+        self.pose_graph_edges.remove(best)
+        rec = self.states[best.id_j]
+        rec.frozen = False
+        rec.is_pose_graph_frame = False
+        if best.id_j not in self.window:
+            rec.in_window = True
+            pos = 0
+            while pos < len(self.window) and self.window[pos] < best.id_j:
+                pos += 1
+            self.window.insert(pos, best.id_j)
+        return True
 
     def _strip_observations(self, sid: int):
         for lm in self.landmarks.values():

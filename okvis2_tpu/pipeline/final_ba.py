@@ -114,13 +114,15 @@ def pack_full_ba_problem(
     o_mask = np.zeros(max_obs, bool)
     k = 0
     for lid in lm_ids:
-        for (sid, ci, _kp), (u, v, size) in estimator.landmarks[lid].obs.items():
+        lm = estimator.landmarks[lid]
+        w_scale = float(np.sqrt(lm.info_scale))
+        for (sid, ci, _kp), (u, v, size) in lm.obs.items():
             if sid in slot_of and k < max_obs:
                 o_state[k] = slot_of[sid]
                 o_cam[k] = ci
                 o_lm[k] = lm_slot[lid]
                 o_uv[k] = (u, v)
-                o_w[k] = 8.0 / size
+                o_w[k] = 8.0 / size * w_scale
                 o_mask[k] = True
                 k += 1
 

@@ -63,6 +63,13 @@ class FrontendConfig:
     ransac_hypotheses: int = 128
     ransac_threshold_deg: float = 0.6  # ~4px at f=460 (thresh 16 px^2)
     use_ransac: bool = True
+    # rotation-only 2D-2D model check on motion-stereo matches: if a
+    # pure rotation explains this fraction of the keyframe<->current
+    # matches, the apparent parallax is illusory and no landmarks are
+    # triangulated (runRansac2d2d rotation-only, Frontend.cpp:2311-2334)
+    rotation_only_veto: float = 0.95
+    # BRISK-2 gravity-aligned extraction direction (Frontend.cpp:231-251)
+    gravity_aligned_description: bool = False
     min_depth: float = 0.1
     max_depth: float = 60.0
 
@@ -143,7 +150,7 @@ def _associate_device(
     jax.jit,
     static_argnames=(
         "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
-        "do_motion_stereo",
+        "do_motion_stereo", "gravity_aligned",
     ),
 )
 def _frame_associate_device(
@@ -172,6 +179,7 @@ def _frame_associate_device(
     min_inliers: int,
     use_ransac: bool,
     do_motion_stereo: bool,
+    gravity_aligned: bool = False,
 ):
     """THE per-frame frontend program: detection + description +
     match-to-map + rig P3P-RANSAC + motion stereo, fused into ONE
@@ -184,9 +192,34 @@ def _frame_associate_device(
     keyframe storage)."""
     NC = len(cameras)
     det = detect_keypoints_batch(images, det_cfg)
-    desc = jax.vmap(describe_keypoints)(
-        images, det["xy"], det["size"], det["mask"]
-    )
+    if gravity_aligned:
+        # BRISK-2 gravity-aligned extraction direction
+        # (Frontend.cpp:231-251): per keypoint, the image direction of
+        # world gravity under the predicted pose — descriptors become
+        # roll-invariant across revisits
+        T_WS_g = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
+        g_W = jnp.asarray([0.0, 0.0, -1.0], images.dtype)
+        g_S = T_WS_g.C.T @ g_W
+        angles = []
+        for ci, cam in enumerate(cameras):
+            T_sc = Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
+            g_C = T_sc.C.T @ g_S
+            rays = cam.back_project(det["xy"][ci])
+            p0 = rays * 2.0
+            uv0, _ = cam.project(p0)
+            uv1, _ = cam.project(p0 + 0.02 * g_C)
+            d = uv1 - uv0
+            angles.append(jnp.arctan2(d[:, 1], d[:, 0]))
+        ext_dir = jnp.stack(angles)
+        desc = jax.vmap(
+            lambda im, x, s, m, a: describe_keypoints(
+                im, x, s, m, extraction_direction=a
+            )
+        )(images, det["xy"], det["size"], det["mask"], ext_dir)
+    else:
+        desc = jax.vmap(describe_keypoints)(
+            images, det["xy"], det["size"], det["mask"]
+        )
     xy = det["xy"]  # [NC,N,2]
     kp_mask = det["mask"]
     kp_signs = desc["signs"]
@@ -212,9 +245,14 @@ def _frame_associate_device(
     ms_idx = jnp.zeros((NC, N), jnp.int32)
     ms_hp = jnp.zeros((NC, N, 4), dtype)
     ms_good = jnp.zeros((NC, N), bool)
+    rot_frac = jnp.zeros((), jnp.float32)
     if do_motion_stereo:
         T_WS_kf = Transformation(r=T_WS_kf7[:3], q=T_WS_kf7[3:7])
         T_WS = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
+        B_wahba = jnp.zeros((3, 3), dtype)
+        pair_d1 = []
+        pair_d2 = []
+        pair_m = []
         for ci, cam in enumerate(cameras):
             T_sc = Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
             T_WA = T_WS_kf @ T_sc
@@ -232,6 +270,35 @@ def _frame_associate_device(
             ms_idx = ms_idx.at[ci].set(i_b)
             ms_hp = ms_hp.at[ci].set(hp_W)
             ms_good = ms_good.at[ci].set(good)
+            # bearings of matched pairs (same camera, old vs new) for the
+            # rotation-only model (runRansac2d2d's 2-pt rotation-only
+            # check, Frontend.cpp:2311-2334): matched even when not good
+            rays_a = cam.back_project(kf_xy[ci])
+            rays_b = cam.back_project(xy[ci][jnp.where(i_b >= 0, i_b, 0)])
+            m = (i_b >= 0) & kf_free[ci]
+            pair_d1.append(rays_a)
+            pair_d2.append(rays_b)
+            pair_m.append(m)
+        d1 = jnp.concatenate(pair_d1)
+        d2 = jnp.concatenate(pair_d2)
+        pm = jnp.concatenate(pair_m).astype(dtype)
+        # Wahba fit: orthogonal polar factor of B = sum m * d2 d1^T
+        B_wahba = jnp.einsum("n,ni,nj->ij", pm, d2, d1)
+        from okvis2_tpu.ops.linalg import inv3x3
+
+        detB = jnp.linalg.det(B_wahba)
+        sgn = jnp.where(detB < 0, -1.0, 1.0)
+        nB = jnp.abs(detB) ** (1.0 / 3.0)
+        X = B_wahba * sgn / jnp.maximum(nB, 1e-12)
+        for _ in range(6):
+            X = 0.5 * (X + inv3x3(X).T)
+        R_rot = X
+        cosang = jnp.sum(jnp.einsum("ij,nj->ni", R_rot, d1) * d2, -1)
+        thr = jnp.cos(jnp.deg2rad(0.3))
+        n_pairs = jnp.maximum(jnp.sum(pm), 1.0)
+        rot_frac = (
+            jnp.sum((cosang > thr).astype(dtype) * pm) / n_pairs
+        ).astype(jnp.float32)
 
     f32 = lambda a: a.astype(jnp.float32).ravel()
     diag = jnp.concatenate([
@@ -239,7 +306,8 @@ def _frame_associate_device(
         f32(idx), f32(keep),
         f32(ms_idx), f32(ms_hp), f32(ms_good),
         jnp.stack([n_inl.astype(jnp.float32),
-                   ransac_ok.astype(jnp.float32)]),
+                   ransac_ok.astype(jnp.float32),
+                   rot_frac]),
     ])
     stacked = {"xy": xy, "mask": kp_mask, "signs": kp_signs}
     return diag, stacked
@@ -672,6 +740,7 @@ class Frontend:
             cfg.ransac_min_inliers,
             cfg.use_ransac,
             do_ms,
+            cfg.gravity_aligned_description,
         )
         diag = np.asarray(diag)  # the frame's ONE blocking readback
 
@@ -693,6 +762,7 @@ class Frontend:
         ms_hp = take(NC * N * 4, (NC, N, 4))
         ms_good = take(NC * N, (NC, N)) > 0.5
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
+        rot_frac = float(diag[off + 2])
 
         frames = [
             {
@@ -720,8 +790,10 @@ class Frontend:
                 n_matched += 1
 
         # ---- motion-stereo landmark initialisation ----
+        # rotation-only veto: when a pure rotation explains nearly all
+        # keyframe<->current matches, apparent parallax is spurious
         n_ms = 0
-        if do_ms:
+        if do_ms and rot_frac < cfg.rotation_only_veto:
             for ci in range(NC):
                 fa = kf_frames[ci]
                 fr = frames[ci]
@@ -744,6 +816,7 @@ class Frontend:
         return frames, {
             "num_matched": n_matched, "num_motion_stereo": n_ms,
             "ransac_inliers": n_inl, "ransac_ok": ransac_ok,
+            "rotation_only_frac": rot_frac,
         }
 
     def fetch_signs(self, frames):
@@ -861,63 +934,91 @@ class Frontend:
         return 0
 
     # ------------------------------------------------------------------
+    def _overlapping_pairs(self):
+        """Camera pairs with FoV overlap (NCameraSystem::computeOverlaps
+        role; all-pairs generalisation of matchStereo,
+        Frontend.cpp:1981-2150)."""
+        pairs = getattr(self, "_overlap_pairs", None)
+        if pairs is None:
+            from okvis2_tpu.cameras.ncamera import NCameraSystem
+
+            nc = len(self.cameras)
+            if nc == 2:
+                pairs = [(0, 1)]
+            else:
+                try:
+                    rig = NCameraSystem(
+                        list(self.cameras), list(self.extrinsics)
+                    )
+                    pairs = [
+                        (i, j) for i in range(nc) for j in range(i + 1, nc)
+                        if rig.has_overlap(i, j)
+                    ]
+                except Exception:
+                    pairs = [
+                        (i, j) for i in range(nc) for j in range(i + 1, nc)
+                    ]
+            self._overlap_pairs = pairs
+        return pairs
+
     def match_stereo(self, estimator: Estimator, frames, sid: int):
-        """Static-stereo initialisation of new landmarks between
+        """Static-stereo initialisation of new landmarks across ALL
         overlapping camera pairs (matchStereo, Frontend.cpp:1981-2150)."""
         cfg = self.cfg
         if len(self.cameras) < 2:
             return 0
         rec = estimator.states[sid]
         n_new = 0
-        used = {
-            (c, kp)
-            for lm in estimator.landmarks.values()
-            for (s, c, kp) in lm.obs
-            if s == sid
-        }
-        ci, cj = 0, 1
-        fa, fb = frames[ci], frames[cj]
-        stacked = fa["stacked"]
-        free_a = fa["mask"].copy()
-        free_b = fb["mask"].copy()
-        for (c, kp) in used:
-            if c == ci:
-                free_a[kp] = False
-            elif c == cj:
-                free_b[kp] = False
-
-        T_WA7 = se3_np.compose7(rec.pose, self.T_SC_np[ci])
-        T_WB7 = se3_np.compose7(rec.pose, self.T_SC_np[cj])
+        stacked = frames[0]["stacked"]
         dtype = stacked["signs"].dtype
-        f0 = float(np.asarray(self.cameras[ci].focal).ravel()[0])
-        idx_b, hp_W, good, parallel = _stereo_device(
-            self.cameras[ci], self.cameras[cj],
-            jnp.asarray(T_WA7, dtype), jnp.asarray(T_WB7, dtype),
-            stacked["xy"], stacked["signs"],
-            jnp.asarray(free_a), jnp.asarray(free_b),
-            jnp.asarray(cfg.stereo_epipolar_gate / f0, dtype),
-            jnp.asarray(cfg.min_depth, dtype),
-            jnp.asarray(cfg.max_depth, dtype),
-            ci, cj, cfg.matching_threshold, True,
-        )
-        hp_W, good, parallel, idx_b = jax.device_get(
-            (hp_W, good, parallel, idx_b)
-        )
-        for a in np.nonzero(good)[0]:
-            a = int(a)
-            b = int(idx_b[a])
-            lid = estimator.add_landmark(
-                hp_W[a], initialised=not parallel[a]
+        for (ci, cj) in self._overlapping_pairs():
+            used = {
+                (c, kp)
+                for lm in estimator.landmarks.values()
+                for (s, c, kp) in lm.obs
+                if s == sid
+            }
+            fa, fb = frames[ci], frames[cj]
+            free_a = fa["mask"].copy()
+            free_b = fb["mask"].copy()
+            for (c, kp) in used:
+                if c == ci:
+                    free_a[kp] = False
+                elif c == cj:
+                    free_b[kp] = False
+
+            T_WA7 = se3_np.compose7(rec.pose, self.T_SC_np[ci])
+            T_WB7 = se3_np.compose7(rec.pose, self.T_SC_np[cj])
+            f0 = float(np.asarray(self.cameras[ci].focal).ravel()[0])
+            idx_b, hp_W, good, parallel = _stereo_device(
+                self.cameras[ci], self.cameras[cj],
+                jnp.asarray(T_WA7, dtype), jnp.asarray(T_WB7, dtype),
+                stacked["xy"], stacked["signs"],
+                jnp.asarray(free_a), jnp.asarray(free_b),
+                jnp.asarray(cfg.stereo_epipolar_gate / f0, dtype),
+                jnp.asarray(cfg.min_depth, dtype),
+                jnp.asarray(cfg.max_depth, dtype),
+                ci, cj, cfg.matching_threshold, True,
             )
-            estimator.add_observation(
-                lid, sid, ci, a, fa["xy"][a], fa["size"][a]
+            hp_W, good, parallel, idx_b = jax.device_get(
+                (hp_W, good, parallel, idx_b)
             )
-            estimator.add_observation(
-                lid, sid, cj, b, fb["xy"][b], fb["size"][b]
-            )
-            self.lm_descriptors[lid] = fa["signs_np"][a]
-            self.table.stage_descriptor(lid, ci, a)
-            n_new += 1
+            for a in np.nonzero(good)[0]:
+                a = int(a)
+                b = int(idx_b[a])
+                lid = estimator.add_landmark(
+                    hp_W[a], initialised=not parallel[a]
+                )
+                estimator.add_observation(
+                    lid, sid, ci, a, fa["xy"][a], fa["size"][a]
+                )
+                estimator.add_observation(
+                    lid, sid, cj, b, fb["xy"][b], fb["size"][b]
+                )
+                if "signs_np" in fa:
+                    self.lm_descriptors[lid] = fa["signs_np"][a]
+                self.table.stage_descriptor(lid, ci, a)
+                n_new += 1
         self.table.flush(stacked["signs"])
         return n_new
 

