@@ -130,3 +130,68 @@ class RealsenseSensor(ViSensorBase):
         if self._pipeline:
             self._pipeline.stop()
         return True
+
+
+class RealsenseRgbdSensor(RealsenseSensor):
+    """RGBD variant (reference RealsenseRgbd.cpp:235): adds the aligned
+    depth stream next to the IR stereo pair and delivers it through a
+    separate callback so downstream consumers can fuse dense depth (the
+    reference feeds it to its depth-aided frontend).
+
+    In this configuration the IR emitter stays ON for the depth stream
+    quality while the stereo pair still serves feature tracking — the
+    reference alternates emitter on/off per frame; here we keep it on
+    and rely on the descriptor's robustness, documented deviation."""
+
+    def __init__(self, width=848, height=480, fps=30, imu_rate=200):
+        super().__init__(width, height, fps, imu_rate, rgbd=True)
+        self.depth_callback = None
+        self._align = None
+
+    def set_depth_callback(self, cb):
+        self.depth_callback = cb
+
+    def start_streaming(self) -> bool:
+        ok = super().start_streaming()
+        rs = self._rs
+        self._align = rs.align(rs.stream.infrared)
+        return ok
+
+    def _loop(self):
+        rs = self._rs
+        while not self._stop:
+            frames = self._pipeline.wait_for_frames()
+            if self._align is not None:
+                frames = self._align.process(frames)
+            for f in frames:
+                if f.is_motion_frame():
+                    m = f.as_motion_frame()
+                    t = m.get_timestamp() * 1e-3
+                    d = m.get_motion_data()
+                    v = np.asarray([d.x, d.y, d.z])
+                    if f.profile.stream_type() == rs.stream.accel:
+                        self._accel_buffer.append((t, v))
+                        self._accel_buffer = self._accel_buffer[-64:]
+                    elif self.imu_callback and self._accel_buffer:
+                        ts = np.asarray([a[0] for a in self._accel_buffer])
+                        vs = np.stack([a[1] for a in self._accel_buffer])
+                        acc = np.stack(
+                            [np.interp(t, ts, vs[:, i]) for i in range(3)]
+                        )
+                        self.imu_callback(t, acc, v)
+            ir1 = frames.get_infrared_frame(1)
+            ir2 = frames.get_infrared_frame(2)
+            depth = frames.get_depth_frame()
+            t = frames.get_timestamp() * 1e-3
+            if ir1 and ir2 and self.images_callback:
+                imgs = [
+                    np.asanyarray(ir1.get_data()).astype(np.float32) / 255.0,
+                    np.asanyarray(ir2.get_data()).astype(np.float32) / 255.0,
+                ]
+                self.images_callback(t, imgs)
+            if depth and self.depth_callback:
+                self.depth_callback(
+                    t,
+                    np.asanyarray(depth.get_data()).astype(np.float32)
+                    * 1e-3,  # z16 [mm] -> meters
+                )
