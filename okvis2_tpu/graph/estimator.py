@@ -233,6 +233,23 @@ class Estimator:
     def set_keyframe(self, sid: int, is_kf: bool = True):
         self.states[sid].is_keyframe = is_kf
 
+    def repredict_from_previous(self, sid: int):
+        """Re-propagate sid's pose/speed-bias prediction from its chain
+        predecessor's CURRENT estimate (used after a lagged solve lands
+        mid-frame: the dispatch used a one-solve-stale prediction; the
+        pack should use the refreshed one)."""
+        rec = self.states[sid]
+        if rec.imu_from is None or rec.imu_from not in self.states:
+            return
+        prev = self.states[rec.imu_from]
+        if len(rec.imu_dt):
+            from okvis2_tpu.imu.preintegration import propagate_state_np
+
+            rec.pose, rec.speed_bias = propagate_state_np(
+                float(self.imu_params.g), prev.pose, prev.speed_bias,
+                rec.imu_w, rec.imu_a, rec.imu_dt,
+            )
+
     # ------------------------------------------------------------------
     # landmarks & observations (ViGraph header-inline add/remove)
     # ------------------------------------------------------------------
@@ -270,6 +287,11 @@ class Estimator:
         dead = []
         for lid, lm in self.landmarks.items():
             if lid in protected:
+                continue
+            if not lm.obs and lm.initialised:
+                # multi-session map point loaded without observations
+                # (Frontend::loadComponent): stays matchable until the
+                # session re-observes it
                 continue
             n_win = sum(1 for (s, _, _) in lm.obs if s in window)
             if n_win == 0 or (len(lm.obs) < min_obs and not lm.initialised):
@@ -626,18 +648,27 @@ class Estimator:
             pass
         self._pending_solve = (out, dict(self._slot_of), list(self._lm_ids))
 
-    def apply_pending_solve(self) -> Optional[dict]:
-        """Integrate the results of the previous `optimise_async`.
-        Returns the solve stats, or None if no solve is pending."""
+    def solve_out_size(self) -> int:
+        """Length of solve_packed's flat output for this configuration."""
+        c = self.cfg
+        return (c.window_slots * 16 + c.landmark_slots * 4
+                + len(self.cameras) * 7 + 4)
+
+    def take_pending_solve(self):
+        """Hand the pending solve's DEVICE output to the caller (to be
+        piggybacked through another program's readback); returns
+        (out_device, slot_of, lm_ids) or None."""
+        pending = getattr(self, "_pending_solve", None)
+        self._pending_solve = None
+        return pending
+
+    def apply_solved_flat(self, out, slot_of, lm_ids) -> dict:
+        """Integrate a solve output (numpy or device flat array) into the
+        host records."""
         import time as _time
 
         from okvis2_tpu.solver.packed_solve import decode_solved
 
-        pending = getattr(self, "_pending_solve", None)
-        if pending is None:
-            return None
-        (out, slot_of, lm_ids) = pending
-        self._pending_solve = None
         pose, sb, lms, ext, stats = decode_solved(
             out, self.cfg.window_slots, self.cfg.landmark_slots,
             len(self.cameras),
@@ -657,6 +688,15 @@ class Estimator:
                          for i in range(len(self.T_SC))]
         self.update_landmark_quality()
         return stats
+
+    def apply_pending_solve(self) -> Optional[dict]:
+        """Integrate the results of the previous `optimise_async`.
+        Returns the solve stats, or None if no solve is pending."""
+        pending = self.take_pending_solve()
+        if pending is None:
+            return None
+        (out, slot_of, lm_ids) = pending
+        return self.apply_solved_flat(out, slot_of, lm_ids)
 
     def optimise(self, iterations: Optional[int] = None) -> dict:
         """Synchronous solve (dispatch + apply): the offline/test path."""

@@ -237,8 +237,59 @@ def do_final_ba(
     for i, lid in enumerate(lm_ids):
         estimator.landmarks[lid].hp_W = lms[i]
     estimator._pre_cache.clear()
-    return {"restored_observations": n_restored, "states": len(ids),
+    info = {"restored_observations": n_restored, "states": len(ids),
             "landmarks": len(lm_ids)}
+    if mesh is None:
+        info.update(final_ba_diagnostics(
+            solved, estimator.cameras, pose, sb, slot_of
+        ))
+    return info
+
+
+def final_ba_diagnostics(solved, cameras, pose, sb, slot_of, grid: int = 12):
+    """Final-BA observability (reference ViSlamBackend.cpp:1810-1881):
+    per-camera reprojection-error heatmaps over an image grid, overall
+    reprojection RMS in pixels, and gyro/accel bias statistics across
+    the session."""
+    import jax
+
+    from okvis2_tpu.solver.gauss_newton import _reproj_residuals
+
+    r_obs, m_obs = jax.jit(
+        lambda p: _reproj_residuals(p, cameras)
+    )(solved)
+    r_obs, m_obs = jax.device_get((r_obs, m_obs))
+    w = np.asarray(solved.obs_sqrt_info)
+    uv = np.asarray(solved.obs_uv)
+    cam_of = np.asarray(solved.obs_cam)
+    # unwhiten to pixels
+    err_px = np.linalg.norm(r_obs, axis=-1) / np.maximum(w, 1e-9)
+    sel = np.asarray(m_obs)
+    rms = float(np.sqrt(np.mean(err_px[sel] ** 2))) if sel.any() else 0.0
+    heatmaps = []
+    for ci, cam in enumerate(cameras):
+        W = float(np.asarray(cam.width))
+        H = float(np.asarray(cam.height))
+        hm = np.zeros((grid, grid))
+        cnt = np.zeros((grid, grid))
+        s = sel & (cam_of == ci)
+        gx = np.clip((uv[s, 0] / W * grid).astype(int), 0, grid - 1)
+        gy = np.clip((uv[s, 1] / H * grid).astype(int), 0, grid - 1)
+        np.add.at(hm, (gy, gx), err_px[s])
+        np.add.at(cnt, (gy, gx), 1.0)
+        heatmaps.append(hm / np.maximum(cnt, 1.0))
+    # bias statistics over the packed states
+    idxs = sorted(slot_of.values())
+    bg = sb[idxs, 3:6]
+    ba = sb[idxs, 6:9]
+    return {
+        "reproj_rms_px": rms,
+        "reproj_heatmaps": np.stack(heatmaps),
+        "bias_gyro_mean": bg.mean(axis=0),
+        "bias_gyro_std": bg.std(axis=0),
+        "bias_accel_mean": ba.mean(axis=0),
+        "bias_accel_std": ba.std(axis=0),
+    }
 
 
 def _set_row(full: np.ndarray, i: int, one) -> np.ndarray:

@@ -173,6 +173,7 @@ def _frame_associate_device(
     epi_px: jnp.ndarray,
     min_depth: jnp.ndarray,
     max_depth: jnp.ndarray,
+    extra_flat: jnp.ndarray,  # [K] piggybacked through the readback
     det_cfg,
     max_distance: int,
     n_hyp: int,
@@ -191,6 +192,10 @@ def _frame_associate_device(
     detection arrays for later programs (table update, static stereo,
     keyframe storage)."""
     NC = len(cameras)
+    if images.dtype == jnp.uint8:
+        # images travel the tunnel as uint8 (4x less upload) and widen
+        # on device
+        images = images.astype(jnp.float32) * (1.0 / 255.0)
     det = detect_keypoints_batch(images, det_cfg)
     if gravity_aligned:
         # BRISK-2 gravity-aligned extraction direction
@@ -308,6 +313,9 @@ def _frame_associate_device(
         jnp.stack([n_inl.astype(jnp.float32),
                    ransac_ok.astype(jnp.float32),
                    rot_frac]),
+        # piggyback: e.g. the PREVIOUS frame's solve output rides this
+        # frame's single readback instead of paying its own ~60 ms RPC
+        extra_flat.astype(jnp.float32).ravel(),
     ])
     stacked = {"xy": xy, "mask": kp_mask, "signs": kp_signs}
     return diag, stacked
@@ -414,7 +422,7 @@ def _table_update(
     table and clear freed slots — the per-frame delta upload is a few
     hundred int32s instead of the whole multi-MB table."""
     Lc, K, B = tab_signs.shape
-    src = kp_signs[cam, kp]  # [U,B]
+    src = kp_signs[cam, kp].astype(tab_signs.dtype)  # [U,B]
     flat_s = tab_signs.reshape(Lc * K, B)
     flat_v = tab_valid.reshape(Lc * K)
     flat_s = flat_s.at[tgt].set(src, mode="drop")
@@ -501,6 +509,26 @@ class DeviceLandmarkTable:
                 (self.capacity, self.n_desc, B), dtype
             )
             self.valid = jnp.zeros((self.capacity, self.n_desc), bool)
+
+    def load_host_descriptors(self, lid_signs: Dict[int, np.ndarray]):
+        """Bulk-insert host descriptors (multi-session map load:
+        Frontend::loadComponent role, Frontend.cpp:180-218): allocate a
+        slot per landmark and upload the merged table once."""
+        if not lid_signs:
+            return
+        B = len(next(iter(lid_signs.values())))
+        self.ensure(B, jnp.float32)
+        signs_np = np.array(self.signs)  # writable copies
+        valid_np = np.array(self.valid)
+        for lid, sg in lid_signs.items():
+            s = self.alloc(lid)
+            if s is None:
+                break
+            signs_np[s, 0] = np.asarray(sg, signs_np.dtype)
+            valid_np[s, 0] = True
+            self.ring_next[s] = 1
+        self.signs = jnp.asarray(signs_np)
+        self.valid = jnp.asarray(valid_np)
 
     def alloc(self, lid: int) -> Optional[int]:
         s = self.slot_of.get(lid)
@@ -651,7 +679,9 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def associate_frame(self, estimator: Estimator, images, sid: int,
-                        T_WS_pred7: np.ndarray):
+                        T_WS_pred7: np.ndarray,
+                        between_dispatch_hook=None,
+                        extra_flat=None):
         """THE per-frame frontend entry: detection + description +
         match-to-map + rig RANSAC + motion stereo as one fused dispatch
         with a single flat readback, then host bookkeeping (observation
@@ -673,11 +703,15 @@ class Frontend:
         NC = len(self.cameras)
         N = cfg.detection.max_keypoints
         imgs = np.stack(images)
-        dtype = jnp.float32 if imgs.dtype == np.float32 else None
-        table.ensure(DESCRIPTOR_BITS, imgs.dtype)
+        if imgs.dtype != np.uint8:
+            # quantise on host: the upload is 4x smaller and the device
+            # widens back to float32 (EuRoC images are uint8 natively)
+            imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        fdtype = np.float32  # device compute dtype after widening
+        table.ensure(DESCRIPTOR_BITS, fdtype)
 
         cap = table.capacity
-        hp = np.zeros((cap, 4), imgs.dtype)
+        hp = np.zeros((cap, 4), fdtype)
         hp[:, 3] = 1.0
         lm_mask = np.zeros(cap, bool)
         lm_init = np.zeros(cap, bool)
@@ -708,8 +742,8 @@ class Frontend:
         else:
             B = DESCRIPTOR_BITS
             kf_stacked = {
-                "xy": jnp.zeros((NC, N, 2), imgs.dtype),
-                "signs": jnp.zeros((NC, N, B), imgs.dtype),
+                "xy": jnp.zeros((NC, N, 2), fdtype),
+                "signs": jnp.zeros((NC, N, B), fdtype),
             }
             kf_free = np.zeros((NC, N), bool)
             T_WS_kf7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
@@ -718,8 +752,8 @@ class Frontend:
             self.cameras,
             self._next_key(),
             jnp.asarray(imgs),
-            jnp.asarray(T_WS_pred7, imgs.dtype),
-            jnp.asarray(np.stack(self.T_SC_np), imgs.dtype),
+            jnp.asarray(T_WS_pred7, fdtype),
+            jnp.asarray(np.stack(self.T_SC_np), fdtype),
             jnp.asarray(hp),
             jnp.asarray(lm_mask),
             jnp.asarray(lm_init),
@@ -728,12 +762,14 @@ class Frontend:
             kf_stacked["xy"],
             kf_stacked["signs"],
             jnp.asarray(kf_free),
-            jnp.asarray(T_WS_kf7, imgs.dtype),
-            jnp.asarray(cfg.map_match_radius, imgs.dtype),
-            jnp.asarray(cfg.ransac_threshold_deg, imgs.dtype),
-            jnp.asarray(cfg.stereo_epipolar_gate, imgs.dtype),
-            jnp.asarray(cfg.min_depth, imgs.dtype),
-            jnp.asarray(cfg.max_depth, imgs.dtype),
+            jnp.asarray(T_WS_kf7, fdtype),
+            jnp.asarray(cfg.map_match_radius, fdtype),
+            jnp.asarray(cfg.ransac_threshold_deg, fdtype),
+            jnp.asarray(cfg.stereo_epipolar_gate, fdtype),
+            jnp.asarray(cfg.min_depth, fdtype),
+            jnp.asarray(cfg.max_depth, fdtype),
+            jnp.zeros(0, jnp.float32) if extra_flat is None
+            else jnp.asarray(extra_flat),
             cfg.detection,
             cfg.matching_threshold,
             cfg.ransac_hypotheses,
@@ -742,6 +778,10 @@ class Frontend:
             do_ms,
             cfg.gravity_aligned_description,
         )
+        if between_dispatch_hook is not None:
+            # the device is busy with the fused program; overlap host
+            # work (e.g. integrating the previous frame's solve) with it
+            between_dispatch_hook()
         diag = np.asarray(diag)  # the frame's ONE blocking readback
 
         # ---- decode the flat diagnostics ----
@@ -763,6 +803,7 @@ class Frontend:
         ms_good = take(NC * N, (NC, N)) > 0.5
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
         rot_frac = float(diag[off + 2])
+        extra_np = diag[off + 3:]
 
         frames = [
             {
@@ -817,6 +858,7 @@ class Frontend:
             "num_matched": n_matched, "num_motion_stereo": n_ms,
             "ransac_inliers": n_inl, "ransac_ok": ransac_ok,
             "rotation_only_frac": rot_frac,
+            "extra": extra_np,
         }
 
     def fetch_signs(self, frames):
@@ -1106,32 +1148,35 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def need_new_keyframe(self, estimator: Estimator, frames, sid: int) -> bool:
-        """Grid-coverage keyframe heuristic (doWeNeedANewKeyframe,
-        Frontend.cpp:1057-1167: matched-area / detected-area overlap)."""
+        """Keyframe heuristic (doWeNeedANewKeyframe,
+        Frontend.cpp:1057-1167): per camera, the ratio of the matched
+        keypoints' convex-hull area to the detected keypoints' hull area;
+        a new keyframe when the best camera's overlap drops below the
+        threshold — the reference's cv::convexHull/contourArea scheme in
+        numpy (monotone chain + shoelace)."""
         cfg = self.cfg
         if self.last_keyframe_id is None:
             return True
-        g = cfg.keyframe_grid
-        covered_m = set()
-        covered_d = set()
+        best_overlap = 0.0
         for ci, fr in enumerate(frames):
-            W, H = self.cameras[ci].width, self.cameras[ci].height
-            mask = fr["mask"]
             matched = set()
             for lm in estimator.landmarks.values():
                 for (s, c, kp) in lm.obs:
                     if s == sid and c == ci:
                         matched.add(kp)
-            for kp in np.nonzero(mask)[0]:
-                x, y = fr["xy"][kp]
-                cell = (ci, int(x * g / W), int(y * g / H))
-                covered_d.add(cell)
-                if int(kp) in matched:
-                    covered_m.add(cell)
-        if not covered_d:
-            return False
-        overlap = len(covered_m) / len(covered_d)
-        return overlap < cfg.keyframe_overlap_threshold
+            det_xy = fr["xy"][np.asarray(fr["mask"], bool)]
+            if len(det_xy) < 3:
+                continue
+            a_det = _hull_area(det_xy)
+            if a_det <= 0:
+                continue
+            if len(matched) >= 3:
+                m_xy = fr["xy"][sorted(matched)]
+                a_m = _hull_area(m_xy)
+            else:
+                a_m = 0.0
+            best_overlap = max(best_overlap, a_m / a_det)
+        return best_overlap < cfg.keyframe_overlap_threshold
 
     # ------------------------------------------------------------------
     def tracking_quality(self, estimator: Estimator, frames, sid: int) -> float:
@@ -1202,3 +1247,29 @@ def _stereo_motion_device(
     depth_ok = (depth > min_depth) & (depth < max_depth)
     good = m["valid"] & valid_t & ~parallel & depth_ok
     return m["idx_b"], hp_W, good, parallel
+
+
+def _hull_area(pts: np.ndarray) -> float:
+    """Convex-hull area of 2D points (Andrew monotone chain + shoelace)."""
+    pts = np.unique(np.asarray(pts, np.float64), axis=0)
+    if len(pts) < 3:
+        return 0.0
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.asarray(lower[:-1] + upper[:-1])
+    if len(hull) < 3:
+        return 0.0
+    x, y = hull[:, 0], hull[:, 1]
+    return 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )

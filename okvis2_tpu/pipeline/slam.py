@@ -95,6 +95,14 @@ class SlamSystem:
         self._imu_queue.append(
             (float(t), np.asarray(accel, np.float64), np.asarray(gyro, np.float64))
         )
+        csv = getattr(self, "_imu_csv", None)
+        if csv is not None:
+            g = np.asarray(gyro)
+            a = np.asarray(accel)
+            csv.write(
+                f"{int(round(t*1e9))},{g[0]:.9f},{g[1]:.9f},{g[2]:.9f},"
+                f"{a[0]:.9f},{a[1]:.9f},{a[2]:.9f}\n"
+            )
         return True
 
     def add_images(self, t: float, images: List[np.ndarray]) -> bool:
@@ -103,6 +111,19 @@ class SlamSystem:
 
     def set_optimised_graph_callback(self, cb: Callable):
         self._callbacks.append(cb)
+
+    # optional debug CSV taps (ViInterface::setImuCsvFile /
+    # setTracksCsvFile, okvis_common/include/okvis/ViInterface.hpp:298-314)
+    def set_imu_csv_file(self, path: str):
+        self._imu_csv = open(path, "w")
+        self._imu_csv.write("#timestamp,w_x,w_y,w_z,a_x,a_y,a_z\n")
+
+    def set_tracks_csv_file(self, path: str):
+        self._tracks_csv = open(path, "w")
+        self._tracks_csv.write(
+            "#timestamp,state_id,is_keyframe,num_matched,"
+            "num_motion_stereo,ransac_inliers,num_landmarks\n"
+        )
 
     # ------------------------------------------------------------------
     def _gather_imu(self, t0: Optional[float], t1: float):
@@ -159,29 +180,40 @@ class SlamSystem:
 
         from okvis2_tpu.utils.timing import SwitchableTimer
 
-        # 0. integrate the PREVIOUS frame's solve (its device->host copy
-        # has been in flight since last frame — the reference gets the
-        # same one-frame overlap from its optimisation thread, joined
-        # before matching: ThreadedSlam.cpp:466-469)
-        with SwitchableTimer("0 apply previous solve"):
-            est.apply_pending_solve()
-        if est.cfg.online_extrinsics:
-            # calibrated extrinsics feed back into the frontend's
-            # projection/epipolar geometry
-            self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
-
         imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
         self._last_frame_t = t
         sid = est.add_state(t, imu_w, imu_a, imu_dt)
         rec = est.states[sid]
         T_WS_pred7 = rec.pose  # numpy [7], IMU-propagated prediction
+        # (one-solve-stale: the previous frame's solve integrates while
+        # the fused frontend program runs — see hook below; the match
+        # gates tolerate the few-mm staleness and the pack re-predicts)
+
+        # the PREVIOUS frame's solve output rides this frame's single
+        # readback (the tunnel serialises RPCs, so a separate fetch
+        # would cost its own ~60 ms roundtrip); its integration is the
+        # reference's join-optimisation-thread-before-matching overlap
+        # (ThreadedSlam.cpp:466-469)
+        pending = est.take_pending_solve()
+        extra = (
+            pending[0] if pending is not None
+            else np.zeros(est.solve_out_size(), np.float32)
+        )
 
         # 1+2. detect+describe+match-to-map+rig-RANSAC+motion-stereo as
         # ONE device dispatch with ONE readback
         with SwitchableTimer("1 frontend (fused)"):
             frames, m = self.frontend.associate_frame(
-                est, images, sid, T_WS_pred7
+                est, images, sid, T_WS_pred7, extra_flat=extra,
             )
+        if pending is not None:
+            with SwitchableTimer("0 apply previous solve"):
+                est.apply_solved_flat(m["extra"], pending[1], pending[2])
+                est.repredict_from_previous(sid)
+            if est.cfg.online_extrinsics:
+                # calibrated extrinsics feed back into the frontend's
+                # projection/epipolar geometry
+                self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
 
         # 3. keyframe decision (before stereo init, like the reference)
         is_kf = self.frontend.need_new_keyframe(est, frames, sid)
@@ -248,6 +280,14 @@ class SlamSystem:
         )
         for cb in self._callbacks:
             cb(t, sid, est.states[sid].pose.copy(), self.tracking)
+        tracks_csv = getattr(self, "_tracks_csv", None)
+        if tracks_csv is not None:
+            tracks_csv.write(
+                f"{int(round(t*1e9))},{sid},{int(is_kf)},"
+                f"{m.get('num_matched', 0)},"
+                f"{m.get('num_motion_stereo', 0)},"
+                f"{m.get('ransac_inliers', 0)},{len(est.landmarks)}\n"
+            )
         self.frames_processed += 1
         return True
 
@@ -299,15 +339,20 @@ class SlamSystem:
         for lid, hp in data["landmarks"].items():
             new_id = self.estimator.add_landmark(hp, initialised=True)
             id_map[lid] = new_id
+        loaded = {}
         for obs in data["observations"]:
             if "descriptor" in obs and obs["lid"] in id_map:
                 packed = obs["descriptor"]
                 bits = (
                     (packed[:, None] >> np.arange(32, dtype=np.uint32)) & 1
                 ).reshape(-1)
-                self.frontend.lm_descriptors[id_map[obs["lid"]]] = np.where(
-                    bits > 0, 1.0, -1.0
-                ).astype(np.float32)
+                signs = np.where(bits > 0, 1.0, -1.0).astype(np.float32)
+                new_id = id_map[obs["lid"]]
+                self.frontend.lm_descriptors[new_id] = signs
+                loaded[new_id] = signs
+        # the loaded landmarks must enter the device-resident matching
+        # table or match-to-map will never see them
+        self.frontend.table.load_host_descriptors(loaded)
         return len(id_map)
 
     # ------------------------------------------------------------------

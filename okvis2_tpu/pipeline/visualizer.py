@@ -84,3 +84,54 @@ def draw_top_view(
         cv2.line(canvas, to_px(pts[i - 1]), to_px(pts[i]), (200, 80, 0), 2)
     cv2.circle(canvas, to_px(pts[-1]), 5, (0, 0, 255), -1)
     return canvas
+
+
+def draw_overhead_image(
+    estimator,
+    size: int = 512,
+    margin: float = 1.0,
+) -> np.ndarray:
+    """Debug overhead map (ViSlamBackend::drawOverheadImage,
+    okvis_ceres/src/ViSlamBackend.cpp:951-1223): trajectory (bright),
+    keyframes (brighter dots), landmarks (dim), current pose marked.
+    Returns a grayscale float image [size, size]."""
+    img = np.zeros((size, size), np.float32)
+    ids = estimator.state_order
+    if not ids:
+        return img
+    traj = np.stack([estimator.states[s].pose[:3] for s in ids])
+    pts = [
+        lm.hp_W[:3] / lm.hp_W[3]
+        for lm in estimator.landmarks.values()
+        if abs(lm.hp_W[3]) > 1e-6 and lm.initialised
+    ]
+    allxy = traj[:, :2]
+    lo = allxy.min(axis=0) - margin
+    hi = allxy.max(axis=0) + margin
+    span = max(float((hi - lo).max()), 1e-6)
+
+    def to_px(p):
+        q = (np.asarray(p[:2]) - lo) / span * (size - 1)
+        return int(q[0]), size - 1 - int(q[1])
+
+    for p in pts:
+        x, y = to_px(p)
+        if 0 <= x < size and 0 <= y < size:
+            img[y, x] = max(img[y, x], 0.25)
+    for k in range(len(traj) - 1):
+        a = np.asarray(to_px(traj[k]))
+        b = np.asarray(to_px(traj[k + 1]))
+        n = int(np.abs(b - a).max()) + 1
+        for t in np.linspace(0, 1, n):
+            x, y = (a + t * (b - a)).astype(int)
+            if 0 <= x < size and 0 <= y < size:
+                img[y, x] = 0.7
+    for s in ids:
+        if estimator.states[s].is_keyframe:
+            x, y = to_px(estimator.states[s].pose[:3])
+            if 1 <= x < size - 1 and 1 <= y < size - 1:
+                img[y - 1:y + 2, x - 1:x + 2] = 0.9
+    x, y = to_px(traj[-1])
+    if 2 <= x < size - 2 and 2 <= y < size - 2:
+        img[y - 2:y + 3, x - 2:x + 3] = 1.0
+    return img

@@ -28,6 +28,16 @@ def test_final_ba_improves_or_holds():
     assert np.isfinite(ate_after)
     # final BA over exact measurements must not be worse than online
     assert ate_after < ate_before * 1.5 + 1e-3, (ate_before, ate_after)
+    # diagnostics (reference ViSlamBackend.cpp:1810-1881): reprojection
+    # RMS + per-camera heatmaps + bias statistics
+    assert stats["reproj_rms_px"] < 3.0, stats["reproj_rms_px"]
+    assert stats["reproj_heatmaps"].shape[0] == 2
+    assert np.all(np.isfinite(stats["bias_gyro_mean"]))
+    # overhead debug image renders
+    from okvis2_tpu.pipeline.visualizer import draw_overhead_image
+
+    img = draw_overhead_image(slam.estimator, size=128)
+    assert img.shape == (128, 128) and img.max() == 1.0
 
 
 def test_convert_edges_restores_observations():
