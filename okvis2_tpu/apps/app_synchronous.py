@@ -50,6 +50,9 @@ def main(argv=None):
         num_imu_frames=params.estimator.num_imu_frames,
         num_loop_closure_frames=params.estimator.num_loop_closure_frames,
         realtime_iterations=params.estimator.realtime_max_iterations,
+        realtime_min_iterations=params.estimator.realtime_min_iterations,
+        enforce_realtime=params.estimator.enforce_realtime,
+        realtime_time_limit=params.estimator.realtime_time_limit,
         online_extrinsics=params.camera_rig.online_extrinsics,
         ext_sigma_r=params.camera_rig.sigma_r,
         ext_sigma_alpha=params.camera_rig.sigma_alpha,
@@ -111,9 +114,9 @@ def main(argv=None):
           f"{time.time()-t0:.1f}s)")
 
     if args.save_map:
-        from okvis2_tpu.pipeline.component_io import save_component
-
-        save_component(args.save_map, slam.estimator)
+        # SlamSystem.save_map includes the landmark descriptors needed
+        # for multi-session relocalisation (Component::save)
+        slam.save_map(args.save_map)
         print(f"saved map to {args.save_map}")
 
 

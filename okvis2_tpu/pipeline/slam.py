@@ -109,6 +109,71 @@ class SlamSystem:
         self._image_queue.append((float(t), images))
         return True
 
+    def add_depth_image(self, t: float, depth: np.ndarray,
+                        cam_idx: int = 0) -> bool:
+        """Aligned depth frame [H,W] in meters (RealsenseRgbd path,
+        reference RealsenseRgbd.cpp): enables depth-aided landmark
+        initialisation at the next keyframe."""
+        self._latest_depth = (float(t), cam_idx, np.asarray(depth))
+        return True
+
+    def _init_landmarks_from_depth(self, frames, sid: int) -> int:
+        """Initialise landmarks for keypoints without one, using the
+        aligned depth map (the reference's depth-aided frontend for
+        RGBD rigs): p_C = ray * depth / ray_z."""
+        latest = getattr(self, "_latest_depth", None)
+        if latest is None:
+            return 0
+        t_d, ci, depth = latest
+        est = self.estimator
+        rec = est.states[sid]
+        if abs(t_d - rec.t) > 0.1:
+            return 0  # stale depth
+        from okvis2_tpu.core import se3_np
+
+        fr = frames[ci]
+        used = {
+            kp for lm in est.landmarks.values()
+            for (s, c, kp) in lm.obs if s == sid and c == ci
+        }
+        H, W = depth.shape
+        free = [
+            kp for kp in np.nonzero(fr["mask"])[0]
+            if int(kp) not in used
+        ]
+        if not free:
+            return 0
+        uv = fr["xy"][free]
+        d = depth[
+            np.clip(uv[:, 1].astype(int), 0, H - 1),
+            np.clip(uv[:, 0].astype(int), 0, W - 1),
+        ]
+        ok = (d > 0.1) & (d < 15.0) & np.isfinite(d)
+        if not ok.any():
+            return 0
+        import jax.numpy as jnp
+
+        rays = np.asarray(
+            self.frontend.cameras[ci].back_project(jnp.asarray(uv[ok]))
+        )
+        T_WC7 = se3_np.compose7(rec.pose, self.frontend.T_SC_np[ci])
+        R_WC = se3_np.quat_to_mat(T_WC7[3:7])
+        n = 0
+        for ray, dz, kp in zip(rays, d[ok], np.asarray(free)[ok]):
+            p_C = ray * (dz / max(ray[2], 1e-6))
+            p_W = R_WC @ p_C + T_WC7[:3]
+            lid = est.add_landmark(
+                np.concatenate([p_W, [1.0]]), initialised=True
+            )
+            est.add_observation(
+                lid, sid, ci, int(kp), fr["xy"][int(kp)],
+                fr["size"][int(kp)],
+            )
+            self.frontend.table.stage_descriptor(lid, ci, int(kp))
+            n += 1
+        self.frontend.table.flush(frames[0]["stacked"]["signs"])
+        return n
+
     def set_optimised_graph_callback(self, cb: Callable):
         self._callbacks.append(cb)
 
@@ -227,6 +292,9 @@ class SlamSystem:
                 self.frontend.fetch_signs(frames)
                 self.frontend.match_stereo(est, frames, sid)
                 self.frontend.remember_keyframe_frames(sid, frames)
+            # depth-aided landmark initialisation (RGBD rigs)
+            if getattr(self, "_latest_depth", None) is not None:
+                self._init_landmarks_from_depth(frames, sid)
             # frontier re-activation: if this keyframe re-observes a
             # pose-graph frame's stored landmarks, bring that frame back
             # (expandKeyframe, ViSlamBackend.cpp:357-406)

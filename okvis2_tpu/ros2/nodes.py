@@ -114,11 +114,20 @@ def main_subscriber(argv):
 def main_realsense(argv):
     p = argparse.ArgumentParser(prog="nodes realsense")
     p.add_argument("config")
+    p.add_argument("--rgbd", action="store_true",
+                   help="aligned-depth stream + depth-aided landmarks")
     args = p.parse_args(argv)
-    from okvis2_tpu.pipeline.sensors import RealsenseSensor
+    from okvis2_tpu.pipeline.sensors import (
+        RealsenseRgbdSensor,
+        RealsenseSensor,
+    )
 
     slam, params = _build_slam(args.config)
-    sensor = RealsenseSensor()
+    if args.rgbd:
+        sensor = RealsenseRgbdSensor()
+        sensor.set_depth_callback(slam.add_depth_image)
+    else:
+        sensor = RealsenseSensor()
     sensor.set_images_callback(
         lambda t, imgs: slam.add_images(t, imgs)
     )

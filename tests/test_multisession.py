@@ -65,3 +65,30 @@ def test_session_map_relocalises(tmp_path):
     # cleanup must not purge the loaded-but-unobserved map points
     est.clean_unobserved_landmarks()
     assert len(est.landmarks) > 30
+
+
+def test_depth_aided_landmark_init():
+    """RGBD depth-aided initialisation (RealsenseRgbd role): keypoints
+    with valid aligned depth become landmarks at ray * depth."""
+    cams, exts = small_rig(width=320, height=240)
+    imu = ImuParameters.create(g=9.81)
+    ds = SyntheticDataset(cams, exts, imu, n_stars=2000, seed=11)
+    slam = _make_slam(cams, exts, imu)
+    est = slam.estimator
+    pose0 = np.array([0.0, 0, 0, 0, 0, 0, 1.0])
+    imgs = ds.render(pose0)
+    sid = est.add_state(0.0, np.zeros((0, 3)), np.zeros((0, 3)),
+                        np.zeros(0))
+    est.states[sid].pose = pose0
+    frames, _ = slam.frontend.associate_frame(est, imgs, sid, pose0)
+    H, W = imgs[0].shape
+    slam.add_depth_image(0.0, np.full((H, W), 4.0))
+    n = slam._init_landmarks_from_depth(frames, sid)
+    assert n > 10
+    # landmarks sit at ~4 m camera depth
+    depths = [
+        lm.hp_W[2] / lm.hp_W[3]
+        for lm in est.landmarks.values()
+        if any(s == sid for (s, _, _) in lm.obs)
+    ]
+    assert np.all(np.asarray(depths) > 3.0)
