@@ -58,6 +58,9 @@ class FrontendConfig:
     n_desc_per_lm: int = 3  # <=3 best descriptors (Frontend.cpp:1224-1359)
     stereo_epipolar_gate: float = 3.0  # px distance to epipolar line
     keyframe_overlap_threshold: float = 0.6  # euroc.yaml:68
+    # reference's second keyframe criterion: matched/detected keypoint
+    # RATIO (doWeNeedANewKeyframe, Frontend.cpp:1057-1167)
+    keyframe_matching_ratio: float = 0.2
     keyframe_grid: int = 8  # coverage grid (grid cells per axis)
     ransac_min_inliers: int = 10
     ransac_hypotheses: int = 128
@@ -273,7 +276,7 @@ def _frame_associate_device(
             )
             good = good & (baseline > 0.02)
             ms_idx = ms_idx.at[ci].set(i_b)
-            ms_hp = ms_hp.at[ci].set(hp_W)
+            ms_hp = ms_hp.at[ci].set(hp_W.astype(dtype))
             ms_good = ms_good.at[ci].set(good)
             # bearings of matched pairs (same camera, old vs new) for the
             # rotation-only model (runRansac2d2d's 2-pt rotation-only
@@ -1158,25 +1161,27 @@ class Frontend:
         if self.last_keyframe_id is None:
             return True
         best_overlap = 0.0
+        best_ratio = 0.0
         for ci, fr in enumerate(frames):
             matched = set()
             for lm in estimator.landmarks.values():
                 for (s, c, kp) in lm.obs:
                     if s == sid and c == ci:
                         matched.add(kp)
-            det_xy = fr["xy"][np.asarray(fr["mask"], bool)]
-            if len(det_xy) < 3:
+            det_idx = np.nonzero(np.asarray(fr["mask"], bool))[0]
+            if len(det_idx) < 3:
                 continue
-            a_det = _hull_area(det_xy)
+            best_ratio = max(best_ratio, len(matched) / len(det_idx))
+            a_det = _hull_area(fr["xy"][det_idx])
             if a_det <= 0:
                 continue
             if len(matched) >= 3:
-                m_xy = fr["xy"][sorted(matched)]
-                a_m = _hull_area(m_xy)
+                a_m = _hull_area(fr["xy"][sorted(matched)])
             else:
                 a_m = 0.0
             best_overlap = max(best_overlap, a_m / a_det)
-        return best_overlap < cfg.keyframe_overlap_threshold
+        return (best_overlap < cfg.keyframe_overlap_threshold
+                or best_ratio < cfg.keyframe_matching_ratio)
 
     # ------------------------------------------------------------------
     def tracking_quality(self, estimator: Estimator, frames, sid: int) -> float:

@@ -65,10 +65,16 @@ class LoopClosureConfig:
     min_inlier_ratio: float = 0.55
     verify_match_threshold: int = 80  # Hamming, wider than tracking
     verify_capacity: int = 512  # fixed landmark-candidate slots per verify
-    exclude_recent: int = 10  # don't match against the last N keyframes
+    # don't match against the most recent N place-recognition frames;
+    # with view-pruned, well-spaced PR frames a small N suffices (the
+    # drift budget + pose verification guard against near-field matches)
+    exclude_recent: int = 5
     full_graph_iterations: int = 15  # config/euroc.yaml:85
     vocabulary_size: int = 512
-    min_train_descriptors: int = 2000
+    # train the online vocabulary as soon as a few keyframes' worth of
+    # descriptors exist — waiting longer starves place recognition on
+    # keyframe-sparse sequences
+    min_train_descriptors: int = 800
     # drift error budget (ViSlamBackend.cpp:2135-2140): positional
     # 1.35 %/m of travelled path + 2 % scale + noise/sqrt(steps);
     # rotational (4e-4 + 4e-3/sqrt(steps)) rad per step
@@ -119,22 +125,27 @@ class LoopClosureBackend:
         return k
 
     # ------------------------------------------------------------------
-    def _pr_eligible(self, estimator: Estimator, sid: int) -> bool:
+    def _pr_eligible(self, estimator: Estimator, sid: int,
+                     min_dist: float = 0.25,
+                     min_angle: float = 0.25) -> bool:
         """prunePlaceRecognitionFrames role (ViSlamBackend.cpp:2276-2309):
-        a keyframe whose landmark set overlaps a recent place-recognition
-        frame by more than 0.6 adds no recall and bloats the database."""
-        own = {
-            lid for lid, lm in estimator.landmarks.items()
-            if any(k[0] == sid for k in lm.obs)
-        }
-        if not own:
-            return True
-        for prev in self._pr_ids[-3:]:
-            shared = sum(
-                1 for lid in own
-                if any(k[0] == prev for k in estimator.landmarks[lid].obs)
-            )
-            if shared / len(own) > 0.6:
+        a keyframe seeing essentially the same view as an existing
+        place-recognition frame adds no recall and bloats the database.
+        The reference computes projected-view overlapFraction; the proxy
+        here is view similarity — prune only when BOTH position and
+        viewing direction are close to a stored PR frame (a tracking-
+        landmark-share test would prune almost every keyframe of a
+        continuously tracked sweep and starve the database)."""
+        pose = estimator.states[sid].pose
+        fwd = se3_np.quat_to_mat(pose[3:7])[:, 2]  # optical axis (cam z)
+        for prev in self._pr_ids[-8:]:
+            rec = estimator.states.get(prev)
+            if rec is None:
+                continue
+            d = np.linalg.norm(rec.pose[:3] - pose[:3])
+            fwd_p = se3_np.quat_to_mat(rec.pose[3:7])[:, 2]
+            ang = float(np.arccos(np.clip(fwd @ fwd_p, -1.0, 1.0)))
+            if d < min_dist and ang < min_angle:
                 return False
         return True
 

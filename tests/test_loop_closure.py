@@ -193,25 +193,27 @@ def test_loop_states_rejoin_window(rig):
 
 def test_place_recognition_pruning(rig):
     """prunePlaceRecognitionFrames (ViSlamBackend.cpp:2276-2309): a
-    keyframe sharing >60% of its landmarks with a recent PR frame is
-    not added to the database."""
+    keyframe with essentially the same view (position AND viewing
+    direction) as a stored PR frame is not added to the database; a
+    displaced or rotated one is."""
     cams, exts, imu_params = rig
     est = Estimator(cams, exts, imu_params, EstimatorConfig())
     lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
     s0 = est.add_state(0.0, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
     s1 = est.add_state(0.5, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
     s2 = est.add_state(1.0, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
-    # s0 and s1 share all landmarks; s2 sees fresh ones
-    for k in range(10):
-        lid = est.add_landmark([0.1 * k, 0, 5, 1], initialised=True)
-        est.add_observation(lid, s0, 0, k, (10 * k, 20))
-        est.add_observation(lid, s1, 0, k, (10 * k + 1, 20))
-    for k in range(10):
-        lid = est.add_landmark([0.1 * k, 1, 5, 1], initialised=True)
-        est.add_observation(lid, s2, 0, k, (10 * k, 40))
+    s3 = est.add_state(1.5, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
+    est.states[s0].pose = np.array([0.0, 0, 0, 0, 0, 0, 1.0])
+    est.states[s1].pose = np.array([0.02, 0.01, 0, 0, 0, 0, 1.0])  # same view
+    est.states[s2].pose = np.array([1.0, 0, 0, 0, 0, 0, 1.0])  # moved 1 m
+    ang = 0.3  # rotated ~34 deg in place
+    est.states[s3].pose = np.array(
+        [0.0, 0, 0, 0.0, np.sin(ang), 0.0, np.cos(ang)]
+    )
     lc._pr_ids.append(s0)
-    assert not lc._pr_eligible(est, s1)  # full overlap with s0
-    assert lc._pr_eligible(est, s2)  # fresh content
+    assert not lc._pr_eligible(est, s1)  # same place, same view
+    assert lc._pr_eligible(est, s2)  # displaced
+    assert lc._pr_eligible(est, s3)  # rotated
 
 
 def test_expand_keyframe_reactivates_pose_graph_frame(rig):
