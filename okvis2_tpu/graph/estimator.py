@@ -615,8 +615,11 @@ class Estimator:
 
         cfg = self._solver_cfg
         if iterations is None and self.cfg.enforce_realtime:
-            # realtime budget: drop to the min-iteration program when the
-            # previous solve overran the limit (CeresIterationCallback role)
+            # realtime budget (CeresIterationCallback role): with the
+            # pipelined solve, _last_solve_wall spans dispatch->apply,
+            # i.e. roughly one frame period — so the budget acts on the
+            # END-TO-END frame time, dropping to the min-iteration
+            # program whenever the loop overruns the limit
             if getattr(self, "_last_solve_wall", 0.0) > self.cfg.realtime_time_limit:
                 iterations = self.cfg.realtime_min_iterations
         if iterations is not None and iterations != cfg.max_iterations:

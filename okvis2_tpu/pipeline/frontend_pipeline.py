@@ -1261,10 +1261,13 @@ def _hull_area(pts: np.ndarray) -> float:
         return 0.0
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    def cross2(a, b):
+        return a[0] * b[1] - a[1] * b[0]
+
     def half(seq):
         h = []
         for p in seq:
-            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+            while len(h) >= 2 and cross2(h[-1] - h[-2], p - h[-2]) <= 0:
                 h.pop()
             h.append(p)
         return h
