@@ -265,15 +265,35 @@ class Estimator:
         self.landmarks[lm_id].obs[(state_id, cam_idx, kp_idx)] = (
             float(uv[0]), float(uv[1]), float(size)
         )
+        self._obs_rev = getattr(self, "_obs_rev", 0) + 1
 
     def remove_observation(self, lm_id, state_id, cam_idx, kp_idx):
         self.landmarks[lm_id].obs.pop((state_id, cam_idx, kp_idx), None)
+        self._obs_rev = getattr(self, "_obs_rev", 0) + 1
+
+    def obs_of_state(self, sid: int):
+        """All (lm_id, cam_idx, kp_idx) observed from state sid, cached
+        per observation-revision: the frame loop queries this several
+        times per frame (keyframe heuristic, tracking quality, CNN
+        suppression, expandKeyframe) and a full landmark-dict scan each
+        time costs ~10 ms at realistic map sizes."""
+        rev = getattr(self, "_obs_rev", 0)
+        cached = getattr(self, "_obs_state_cache", None)
+        if cached is None or cached[0] != rev:
+            by_state: Dict[int, list] = {}
+            for lid, lm in self.landmarks.items():
+                for (s, ci, kp) in lm.obs:
+                    by_state.setdefault(s, []).append((lid, ci, kp))
+            self._obs_state_cache = (rev, by_state)
+            cached = self._obs_state_cache
+        return cached[1].get(sid, ())
 
     def merge_landmarks(self, keep_id: int, drop_id: int):
         drop = self.landmarks.pop(drop_id, None)
         if drop is None:
             return
         self.landmarks[keep_id].obs.update(drop.obs)
+        self._obs_rev = getattr(self, "_obs_rev", 0) + 1
 
     def clean_unobserved_landmarks(self, min_obs: int = 2):
         """ViGraph::cleanUnobservedLandmarks (ViGraph.cpp:908+)."""
@@ -298,6 +318,8 @@ class Estimator:
                 dead.append(lid)
         for lid in dead:
             del self.landmarks[lid]
+        if dead:
+            self._obs_rev = getattr(self, "_obs_rev", 0) + 1
 
     # ------------------------------------------------------------------
     # covisibility (ViGraph::covisibilities, ViGraph.cpp:505-563)
@@ -778,6 +800,7 @@ class Estimator:
             for lm in self.landmarks.values():
                 for key in [k for k in lm.obs if k[0] == sid]:
                     del lm.obs[key]
+            self._obs_rev = getattr(self, "_obs_rev", 0) + 1
             self._merge_imu_into_successor(sid, nxt)
             self._pre_cache.pop(sid, None)
             rec.in_window = False
@@ -969,10 +992,7 @@ class Estimator:
         landmarks stored in a pose-graph frame's marginalisation edge,
         convert that edge back into live observations and return the
         frame to the window."""
-        lms_cur = {
-            lid for lid, lm in self.landmarks.items()
-            if any(k[0] == sid for k in lm.obs)
-        }
+        lms_cur = {lid for (lid, _c, _k) in self.obs_of_state(sid)}
         if not lms_cur:
             return False
         best, best_n = None, 0
@@ -990,6 +1010,7 @@ class Estimator:
         for (lid, s, ci, kp, u, v, size) in best.stored_obs:
             if lid in self.landmarks and s in self.states:
                 self.landmarks[lid].obs[(s, ci, kp)] = (u, v, size)
+        self._obs_rev = getattr(self, "_obs_rev", 0) + 1
         self.pose_graph_edges.remove(best)
         rec = self.states[best.id_j]
         rec.frozen = False
@@ -1006,6 +1027,7 @@ class Estimator:
         for lm in self.landmarks.values():
             for key in [k for k in lm.obs if k[0] == sid]:
                 del lm.obs[key]
+        self._obs_rev = getattr(self, "_obs_rev", 0) + 1
 
     def _freeze_and_shrink(self):
         """Freeze old pose-graph frames; drop states from the window when

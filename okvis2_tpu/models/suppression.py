@@ -56,15 +56,14 @@ class CnnSuppressor:
             classes.append(cls)
         classes = [np.asarray(c) for c in classes]  # keyframe-only fetch
         n = 0
-        for lm in estimator.landmarks.values():
-            for (s, ci, kp) in lm.obs:
-                if s != sid:
-                    continue
-                c = int(classes[ci][kp])
-                if c == SKY_CLASS or c == PERSON_CLASS:
-                    if lm.info_scale > 1e-4:
-                        lm.info_scale = 1e-4
-                        n += 1
-                    break
+        for (lid, ci, kp) in estimator.obs_of_state(sid):
+            lm = estimator.landmarks.get(lid)
+            if lm is None:
+                continue
+            c = int(classes[ci][kp])
+            if (c == SKY_CLASS or c == PERSON_CLASS) \
+                    and lm.info_scale > 1e-4:
+                lm.info_scale = 1e-4
+                n += 1
         self.num_suppressed += n
         return n

@@ -40,6 +40,7 @@ def convert_edges_to_observations(estimator: Estimator):
         else:
             kept.append(e)
     estimator.pose_graph_edges = kept
+    estimator._obs_rev = getattr(estimator, "_obs_rev", 0) + 1
     return n_restored
 
 

@@ -737,10 +737,9 @@ class Frontend:
         if do_ms:
             kf_stacked = kf_frames[0]["stacked"]
             kf_free = np.stack([f["mask"] for f in kf_frames]).copy()
-            for lm in estimator.landmarks.values():
-                for (s, c, kp) in lm.obs:
-                    if s == kf_id and kp < N:
-                        kf_free[c, kp] = False
+            for (_l, c, kp) in estimator.obs_of_state(kf_id):
+                if kp < N:
+                    kf_free[c, kp] = False
             T_WS_kf7 = estimator.states[kf_id].pose
         else:
             B = DESCRIPTOR_BITS
@@ -1018,10 +1017,7 @@ class Frontend:
         dtype = stacked["signs"].dtype
         for (ci, cj) in self._overlapping_pairs():
             used = {
-                (c, kp)
-                for lm in estimator.landmarks.values()
-                for (s, c, kp) in lm.obs
-                if s == sid
+                (c, kp) for (_l, c, kp) in estimator.obs_of_state(sid)
             }
             fa, fb = frames[ci], frames[cj]
             free_a = fa["mask"].copy()
@@ -1081,16 +1077,10 @@ class Frontend:
         rec_new = estimator.states[sid]
         rec_kf = estimator.states[kf_id]
         used_new = {
-            (c, kp)
-            for lm in estimator.landmarks.values()
-            for (s, c, kp) in lm.obs
-            if s == sid
+            (c, kp) for (_l, c, kp) in estimator.obs_of_state(sid)
         }
         used_kf = {
-            (c, kp)
-            for lm in estimator.landmarks.values()
-            for (s, c, kp) in lm.obs
-            if s == kf_id
+            (c, kp) for (_l, c, kp) in estimator.obs_of_state(kf_id)
         }
         n_new = 0
         for ci, cam in enumerate(self.cameras):
@@ -1162,12 +1152,9 @@ class Frontend:
             return True
         best_overlap = 0.0
         best_ratio = 0.0
+        obs_sid = estimator.obs_of_state(sid)
         for ci, fr in enumerate(frames):
-            matched = set()
-            for lm in estimator.landmarks.values():
-                for (s, c, kp) in lm.obs:
-                    if s == sid and c == ci:
-                        matched.add(kp)
+            matched = {kp for (_l, c, kp) in obs_sid if c == ci}
             det_idx = np.nonzero(np.asarray(fr["mask"], bool))[0]
             if len(det_idx) < 3:
                 continue
@@ -1190,13 +1177,10 @@ class Frontend:
         g = self.cfg.keyframe_grid
         total = 0
         matched_cells = set()
+        obs_sid = estimator.obs_of_state(sid)
         for ci, fr in enumerate(frames):
             W, H = self.cameras[ci].width, self.cameras[ci].height
-            matched = set()
-            for lm in estimator.landmarks.values():
-                for (s, c, kp) in lm.obs:
-                    if s == sid and c == ci:
-                        matched.add(kp)
+            matched = {kp for (_l, c, kp) in obs_sid if c == ci}
             for kp in matched:
                 x, y = fr["xy"][kp]
                 matched_cells.add((ci, int(x * g / W), int(y * g / H)))

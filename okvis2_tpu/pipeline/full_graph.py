@@ -462,6 +462,7 @@ class LoopClosureBackend:
             else:
                 kept.append(e)
         estimator.pose_graph_edges = kept
+        estimator._obs_rev = getattr(estimator, "_obs_rev", 0) + 1
         return n_restored
 
     # ------------------------------------------------------------------

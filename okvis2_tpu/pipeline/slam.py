@@ -133,8 +133,7 @@ class SlamSystem:
 
         fr = frames[ci]
         used = {
-            kp for lm in est.landmarks.values()
-            for (s, c, kp) in lm.obs if s == sid and c == ci
+            kp for (_l, c, kp) in est.obs_of_state(sid) if c == ci
         }
         H, W = depth.shape
         free = [
@@ -369,6 +368,7 @@ class SlamSystem:
             est.states[sid].in_window = False
         est.window = list(keep)
         est.landmarks.clear()
+        est._obs_rev = getattr(est, "_obs_rev", 0) + 1
         est.pose_graph_edges.clear()
         self.frontend.lm_descriptors.clear()
         self.frontend.last_keyframe_id = None
