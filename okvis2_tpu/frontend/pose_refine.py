@@ -88,8 +88,16 @@ def refine_pose_hessian(
         d = -jax.scipy.linalg.cho_solve((L, True), g)
         return oplus(T7, d), H
 
-    T7, Hs = jax.lax.scan(step, T_SW7_init.astype(dtype), None, length=n_iter)
-    H = Hs[-1]
+    T7, _ = jax.lax.scan(step, T_SW7_init.astype(dtype), None, length=n_iter)
+    # the scan's last Hessian is evaluated at the SECOND-TO-LAST iterate
+    # (each step computes J before applying its update); the edge
+    # information must match the returned refined pose, so evaluate
+    # J^T J once more at the final pose
+    f_final = lambda d: _residuals(
+        oplus(T7, d), pts_W, rays_C, R_cs, t_cs, w
+    ).ravel()
+    J = jax.jacfwd(f_final)(jnp.zeros(6, dtype))
+    H = J.T @ J
     # sqrt-information via Cholesky of H (already PSD)
     Hd = H + 1e-10 * jnp.eye(6, dtype=dtype)
     sqrt_info = jnp.linalg.cholesky(Hd).T  # upper-triangular factor

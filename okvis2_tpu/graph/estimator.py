@@ -814,13 +814,21 @@ class Estimator:
         eliminated segment, ViGraphEstimator.cpp:57-157)."""
         rec = self.states[sid]
         if nxt.imu_from != sid:
-            # chain already broken (e.g. after re-initialisation): nothing
-            # to merge; just drop sid's buffer so no packer can misuse it
-            rec.imu_w = np.zeros((0, 3))
-            rec.imu_a = np.zeros((0, 3))
-            rec.imu_dt = np.zeros((0,))
-            rec.imu_from = None
-            return
+            # the window neighbour is not sid's chain successor (e.g.
+            # after a mid-window drop): merge into the ACTUAL successor
+            # if one still exists so the IMU segment is preserved instead
+            # of lost; only clear when the chain is truly broken
+            succ = next(
+                (s for s in self.states.values() if s.imu_from == sid),
+                None,
+            )
+            if succ is None:
+                rec.imu_w = np.zeros((0, 3))
+                rec.imu_a = np.zeros((0, 3))
+                rec.imu_dt = np.zeros((0,))
+                rec.imu_from = None
+                return
+            nxt = succ
         nxt.imu_w = np.concatenate([rec.imu_w, nxt.imu_w])
         nxt.imu_a = np.concatenate([rec.imu_a, nxt.imu_a])
         nxt.imu_dt = np.concatenate([rec.imu_dt, nxt.imu_dt])

@@ -423,16 +423,17 @@ def _table_update(
 ):
     """Scatter this frame's new landmark descriptors into the resident
     table and clear freed slots — the per-frame delta upload is a few
-    hundred int32s instead of the whole multi-MB table."""
+    hundred int32s instead of the whole multi-MB table. Clears apply
+    BEFORE the descriptor writes: a slot freed and re-allocated in the
+    same flush batch keeps its freshly staged descriptor."""
     Lc, K, B = tab_signs.shape
     src = kp_signs[cam, kp].astype(tab_signs.dtype)  # [U,B]
+    tab_valid = tab_valid.at[clear].set(False, mode="drop")
     flat_s = tab_signs.reshape(Lc * K, B)
     flat_v = tab_valid.reshape(Lc * K)
     flat_s = flat_s.at[tgt].set(src, mode="drop")
     flat_v = flat_v.at[tgt].set(True, mode="drop")
-    tab_valid2 = flat_v.reshape(Lc, K)
-    tab_valid2 = tab_valid2.at[clear].set(False, mode="drop")
-    return flat_s.reshape(Lc, K, B), tab_valid2
+    return flat_s.reshape(Lc, K, B), flat_v.reshape(Lc, K)
 
 
 @functools.partial(
@@ -570,8 +571,14 @@ class DeviceLandmarkTable:
             return
         K = self.n_desc
         while self._upd or self._clear:
-            batch = self._upd[:upd_capacity]
-            self._upd = self._upd[upd_capacity:]
+            # clears apply before updates inside _table_update; when the
+            # clear backlog spills over one batch, drain it first so a
+            # slot freed and re-allocated in the same frame never has a
+            # LATER batch's clear wipe the new tenant's descriptor
+            # (which would silently destroy that landmark's matchability)
+            batch = ([] if len(self._clear) > upd_capacity
+                     else self._upd[:upd_capacity])
+            self._upd = self._upd[len(batch):]
             clr = self._clear[:upd_capacity]
             self._clear = self._clear[upd_capacity:]
             U = upd_capacity

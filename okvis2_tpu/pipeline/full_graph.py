@@ -209,18 +209,24 @@ class LoopClosureBackend:
         old = self._kf_data.get(old_id)
         if old is None:
             return None
-        # landmarks observed by the old keyframe (with world positions)
-        lm_entries = []
+        # landmarks observed by the old keyframe (with world positions);
+        # keyed by landmark id so a landmark seen both live and in a
+        # marginalisation edge's stored_obs (or in several edges) enters
+        # the verify problem ONCE — duplicates would double-count in the
+        # RANSAC inlier count, ratio test, and refine Hessian
+        entry_of: Dict[int, int] = {}
         for lid, lm in estimator.landmarks.items():
             for (s, ci, kp) in lm.obs:
                 if s == old_id and ci == 0:
-                    lm_entries.append((lid, kp))
+                    entry_of[lid] = kp
                     break
         # landmarks of marginalised edges (stored observations)
         for e in estimator.pose_graph_edges:
             for (lid, s, ci, kp, u, v, size) in e.stored_obs:
-                if s == old_id and ci == 0 and lid in estimator.landmarks:
-                    lm_entries.append((lid, kp))
+                if (s == old_id and ci == 0 and lid not in entry_of
+                        and lid in estimator.landmarks):
+                    entry_of[lid] = kp
+        lm_entries = list(entry_of.items())
         if len(lm_entries) < cfg.min_inliers:
             self.last_verify_info = f"few lm_entries {len(lm_entries)}"
             return None
@@ -484,11 +490,14 @@ class LoopClosureBackend:
         T_ij = se3_np.compose7(
             se3_np.inverse7(old_rec.pose), T_WS_meas7
         )
-        sqrt_info = v["sqrt_info"]
         # scale guard: keep the edge from dwarfing the rest of the graph
-        s_max = float(np.abs(sqrt_info).max())
-        if s_max > 1e4:
-            sqrt_info = sqrt_info * (1e4 / s_max)
+        # by clipping the INFORMATION eigenvalues (like two_pose.py's
+        # eigen-clip) instead of rescaling the whole matrix, which would
+        # distort the rotation-vs-translation weighting
+        H = 0.5 * (v["H"] + v["H"].T)
+        evals, evecs = np.linalg.eigh(H)
+        evals = np.clip(evals, 0.0, 1e8)  # sqrt-info entries <= 1e4
+        sqrt_info = np.diag(np.sqrt(evals)) @ evecs.T
         estimator.pose_graph_edges.append(
             PoseGraphEdge(old_id, sid, T_ij, sqrt_info, [], "loop")
         )
