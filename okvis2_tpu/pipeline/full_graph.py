@@ -426,11 +426,16 @@ class LoopClosureBackend:
             p = se3_np.quat_to_mat(d[3:7]) @ hp[:3] + d[:3] * hp[3]
             lm.hp_W = np.concatenate([p, hp[3:4]])
 
-    def _merge_loop_landmarks(self, estimator, sid, pairs):
+    def _merge_loop_landmarks(self, estimator, sid, pairs, frames=None,
+                              frontend=None):
         """Merge duplicate landmarks re-observed through the loop: if the
         current frame's keypoint kp already hosts a landmark different
         from the loop landmark, merge them (Frontend.cpp:853-879 ->
-        ViSlamBackend::mergeLandmark)."""
+        ViSlamBackend::mergeLandmark). A verified pair whose current
+        keypoint hosts NO landmark becomes a fresh observation of the
+        old-map landmark (the reference's matchToMap restricted to
+        loopClosureLandmarks inserts exactly these), so old-map points
+        constrain the loop BA even where tracking never picked them up."""
         # current frame's kp -> landmark map (cam0)
         kp_lm = {}
         for lid, lm in estimator.landmarks.items():
@@ -438,6 +443,8 @@ class LoopClosureBackend:
                 if s == sid and ci == 0:
                     kp_lm[kp] = lid
         n = 0
+        n_new_obs = 0
+        f0 = frames[0] if frames is not None else None
         for (lid_old, kp) in pairs:
             lid_new = kp_lm.get(kp)
             if lid_new is not None and lid_new != lid_old \
@@ -445,10 +452,21 @@ class LoopClosureBackend:
                     and lid_new in estimator.landmarks:
                 estimator.merge_landmarks(lid_old, lid_new)
                 n += 1
-            elif lid_new is None and lid_old in estimator.landmarks:
-                # new observation of the old landmark from this frame
-                # (matchToMap restricted to loop landmarks in the ref)
-                pass
+            elif (lid_new is None and lid_old in estimator.landmarks
+                  and f0 is not None and kp < len(f0["xy"])
+                  and f0["mask"][kp]):
+                estimator.add_observation(
+                    lid_old, sid, 0, kp, f0["xy"][kp], f0["size"][kp]
+                )
+                if frontend is not None:
+                    frontend.table.stage_descriptor(lid_old, 0, kp)
+                n_new_obs += 1
+        if n_new_obs and frontend is not None and f0 is not None \
+                and "stacked" in f0:
+            frontend.table.flush(f0["stacked"]["signs"])
+        self.num_loop_observations = getattr(
+            self, "num_loop_observations", 0
+        ) + n_new_obs
         return n
 
     def _reactivate_loop_observations(self, estimator, chain):
@@ -472,7 +490,8 @@ class LoopClosureBackend:
         return n_restored
 
     # ------------------------------------------------------------------
-    def close_loop(self, estimator: Estimator, old_id: int, sid: int, frames):
+    def close_loop(self, estimator: Estimator, old_id: int, sid: int,
+                   frames, frontend=None):
         """Verify, budget-check, distribute, merge, reactivate, solve —
         the attemptLoopClosure + addLoopClosureFrame sequence."""
         v = self._verify(estimator, old_id, sid, frames)
@@ -503,7 +522,8 @@ class LoopClosureBackend:
         )
         self.num_loop_closures += 1
 
-        self._merge_loop_landmarks(estimator, sid, v["pairs"])
+        self._merge_loop_landmarks(estimator, sid, v["pairs"], frames,
+                                   frontend)
         self._distribute_drift(estimator, chain, T_WS_meas7, sid)
         if self.cfg.reactivate_observations:
             self._reactivate_loop_observations(estimator, chain)

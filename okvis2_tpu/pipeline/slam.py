@@ -314,7 +314,9 @@ class SlamSystem:
         # solves the full graph inline; the realtime dispatch below then
         # starts from the corrected state)
         if loop_old_id is not None:
-            self.loop_backend.close_loop(est, loop_old_id, sid, frames)
+            self.loop_backend.close_loop(
+                est, loop_old_id, sid, frames, self.frontend
+            )
 
         # 5. dispatch the realtime window solve; its results integrate
         # at the START of the next frame (no blocking here)

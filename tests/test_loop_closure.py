@@ -254,3 +254,41 @@ def test_expand_keyframe_reactivates_pose_graph_frame(rig):
     assert not est.pose_graph_edges
     # the stored observations are live again
     assert (s_old, 0, 0) in est.landmarks[lids[0]].obs
+
+
+def test_loop_inserts_observations_of_old_landmarks(rig):
+    """Frontend.cpp:853-879: a verified loop pair whose current keypoint
+    hosts NO landmark becomes a fresh observation of the old-map
+    landmark (not a silent no-op), so old-map points constrain the loop
+    BA even where tracking never picked them up."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params, EstimatorConfig())
+    fe = Frontend(cams, exts, FrontendConfig(
+        detection=DetectionConfig(max_keypoints=64)))
+    sid = est.add_state(0.0, np.zeros((0, 3)), np.zeros((0, 3)),
+                        np.zeros(0))
+    lid_old = est.add_landmark(np.array([0.0, 0, 5.0, 1.0]),
+                               initialised=True)
+    # a second pair that should MERGE (kp 3 already hosts a landmark)
+    lid_old2 = est.add_landmark(np.array([1.0, 0, 5.0, 1.0]),
+                                initialised=True)
+    lid_live = est.add_landmark(np.array([1.01, 0, 5.0, 1.0]),
+                                initialised=True)
+    est.add_observation(lid_live, sid, 0, 3, (30.0, 40.0), 9.0)
+
+    N = 64
+    frames = [{
+        "xy": np.tile(np.array([[10.0, 20.0]]), (N, 1)),
+        "size": np.full(N, 9.0),
+        "mask": np.ones(N, bool),
+    }]
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    pairs = [(lid_old, 7), (lid_old2, 3)]
+    n_merged = lc._merge_loop_landmarks(est, sid, pairs, frames, fe)
+    # kp 7 hosted nothing -> new observation of lid_old
+    assert (sid, 0, 7) in est.landmarks[lid_old].obs
+    assert lc.num_loop_observations == 1
+    # kp 3 hosted lid_live -> merged into lid_old2
+    assert n_merged == 1
+    assert lid_live not in est.landmarks
+    assert (sid, 0, 3) in est.landmarks[lid_old2].obs
