@@ -71,6 +71,12 @@ class FrontendConfig:
     # matches, the apparent parallax is illusory and no landmarks are
     # triangulated (runRansac2d2d rotation-only, Frontend.cpp:2311-2334)
     rotation_only_veto: float = 0.95
+    # motion stereo matches the current frame against the TOP-K window
+    # keyframes ranked by view overlap, not just the last one (the
+    # reference ranks ALL window keyframes by overlapFraction and
+    # matches each, Frontend.cpp:1742-1768); fixed K keeps the fused
+    # program's shapes static
+    motion_stereo_keyframes: int = 3
     # BRISK-2 gravity-aligned extraction direction (Frontend.cpp:231-251)
     gravity_aligned_description: bool = False
     min_depth: float = 0.1
@@ -167,10 +173,11 @@ def _frame_associate_device(
     lm_init: jnp.ndarray,
     tab_signs: jnp.ndarray,
     tab_valid: jnp.ndarray,
-    kf_xy: jnp.ndarray,  # [NC,N,2] last keyframe stack
-    kf_signs: jnp.ndarray,  # [NC,N,B]
-    kf_free: jnp.ndarray,  # [NC,N] keypoints not hosting landmarks
-    T_WS_kf7: jnp.ndarray,
+    kf_xy: jnp.ndarray,  # [KF,NC,N,2] top-K keyframe stacks
+    kf_signs: jnp.ndarray,  # [KF,NC,N,B]
+    kf_free: jnp.ndarray,  # [KF,NC,N] keypoints not hosting landmarks
+    kf_valid: jnp.ndarray,  # [KF] keyframe-slot validity
+    T_WS_kf7: jnp.ndarray,  # [KF,7]
     radius: jnp.ndarray,
     threshold_deg: jnp.ndarray,
     epi_px: jnp.ndarray,
@@ -249,44 +256,62 @@ def _frame_associate_device(
         lambda m, s: m.at[s].set(True, mode="drop")
     )(matched, src)
 
-    # motion stereo vs the last keyframe (same camera across time)
-    ms_idx = jnp.zeros((NC, N), jnp.int32)
-    ms_hp = jnp.zeros((NC, N, 4), dtype)
-    ms_good = jnp.zeros((NC, N), bool)
+    # motion stereo vs the top-K overlap-ranked window keyframes (same
+    # camera across time; the reference ranks ALL window keyframes by
+    # overlapFraction and matches each, Frontend.cpp:1742-1768)
+    KF = kf_xy.shape[0]
+    ms_idx = jnp.zeros((KF, NC, N), jnp.int32)
+    ms_hp = jnp.zeros((KF, NC, N, 4), dtype)
+    ms_good = jnp.zeros((KF, NC, N), bool)
     rot_frac = jnp.zeros((), jnp.float32)
     if do_motion_stereo:
-        T_WS_kf = Transformation(r=T_WS_kf7[:3], q=T_WS_kf7[3:7])
         T_WS = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
         B_wahba = jnp.zeros((3, 3), dtype)
         pair_d1 = []
         pair_d2 = []
         pair_m = []
-        for ci, cam in enumerate(cameras):
-            T_sc = Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
-            T_WA = T_WS_kf @ T_sc
-            T_WB = T_WS @ T_sc
-            baseline = jnp.linalg.norm(T_WB.r - T_WA.r)
-            f0 = cam.focal.ravel()[0]
-            i_b, hp_W, good, parallel = _stereo_pair(
-                cam, cam, T_WA, T_WB,
-                kf_xy[ci], kf_signs[ci], kf_free[ci],
-                xy[ci], kp_signs[ci], kp_mask[ci] & ~matched[ci],
-                epi_px / f0, min_depth, max_depth,
-                max_distance, False,
+        # current-frame keypoints are consumed keyframe-by-keyframe so a
+        # keypoint triangulated against an earlier (higher-overlap)
+        # keyframe doesn't spawn a duplicate landmark from a later one
+        avail_b = kp_mask & ~matched
+        for k in range(KF):
+            T_WS_kf = Transformation(
+                r=T_WS_kf7[k, :3], q=T_WS_kf7[k, 3:7]
             )
-            good = good & (baseline > 0.02)
-            ms_idx = ms_idx.at[ci].set(i_b)
-            ms_hp = ms_hp.at[ci].set(hp_W.astype(dtype))
-            ms_good = ms_good.at[ci].set(good)
-            # bearings of matched pairs (same camera, old vs new) for the
-            # rotation-only model (runRansac2d2d's 2-pt rotation-only
-            # check, Frontend.cpp:2311-2334): matched even when not good
-            rays_a = cam.back_project(kf_xy[ci])
-            rays_b = cam.back_project(xy[ci][jnp.where(i_b >= 0, i_b, 0)])
-            m = (i_b >= 0) & kf_free[ci]
-            pair_d1.append(rays_a)
-            pair_d2.append(rays_b)
-            pair_m.append(m)
+            for ci, cam in enumerate(cameras):
+                T_sc = Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
+                T_WA = T_WS_kf @ T_sc
+                T_WB = T_WS @ T_sc
+                baseline = jnp.linalg.norm(T_WB.r - T_WA.r)
+                f0 = cam.focal.ravel()[0]
+                i_b, hp_W, good, parallel = _stereo_pair(
+                    cam, cam, T_WA, T_WB,
+                    kf_xy[k, ci], kf_signs[k, ci], kf_free[k, ci],
+                    xy[ci], kp_signs[ci], avail_b[ci],
+                    epi_px / f0, min_depth, max_depth,
+                    max_distance, False,
+                )
+                good = good & (baseline > 0.02) & kf_valid[k]
+                ms_idx = ms_idx.at[k, ci].set(i_b)
+                ms_hp = ms_hp.at[k, ci].set(hp_W.astype(dtype))
+                ms_good = ms_good.at[k, ci].set(good)
+                taken = jnp.zeros(N, bool).at[
+                    jnp.where(good, i_b, N)
+                ].set(True, mode="drop")
+                avail_b = avail_b.at[ci].set(avail_b[ci] & ~taken)
+                if k == 0:
+                    # bearings of matched pairs (same camera, old vs
+                    # new) for the rotation-only model (runRansac2d2d's
+                    # 2-pt rotation-only check, Frontend.cpp:2311-2334):
+                    # matched even when not good; kf 0 = best overlap
+                    rays_a = cam.back_project(kf_xy[0, ci])
+                    rays_b = cam.back_project(
+                        xy[ci][jnp.where(i_b >= 0, i_b, 0)]
+                    )
+                    m = (i_b >= 0) & kf_free[0, ci]
+                    pair_d1.append(rays_a)
+                    pair_d2.append(rays_b)
+                    pair_m.append(m)
         d1 = jnp.concatenate(pair_d1)
         d2 = jnp.concatenate(pair_d2)
         pm = jnp.concatenate(pair_m).astype(dtype)
@@ -733,29 +758,51 @@ class Frontend:
             lm_mask[s] = True
             lm_init[s] = lm.initialised
 
-        # last keyframe stacks for motion stereo
-        kf_id = self.last_keyframe_id
-        kf_frames = getattr(self, "_kf_frames", None)
-        do_ms = (
-            kf_id is not None and kf_id != sid and kf_frames is not None
-            and getattr(self, "_kf_frames_id", None) == kf_id
-            and kf_id in estimator.states
+        # top-K overlap-ranked keyframe stacks for motion stereo
+        # (Frontend.cpp:1742-1768 ranks all window keyframes by
+        # overlapFraction; fixed K keeps the device shapes static)
+        KF = cfg.motion_stereo_keyframes
+        top_ids = self._rank_keyframes_by_overlap(
+            estimator, T_WS_pred7, sid, hp, lm_mask, KF
         )
+        do_ms = bool(top_ids)
+        B = DESCRIPTOR_BITS
         if do_ms:
-            kf_stacked = kf_frames[0]["stacked"]
-            kf_free = np.stack([f["mask"] for f in kf_frames]).copy()
-            for (_l, c, kp) in estimator.obs_of_state(kf_id):
-                if kp < N:
-                    kf_free[c, kp] = False
-            T_WS_kf7 = estimator.states[kf_id].pose
+            kf_xy_s = []
+            kf_signs_s = []
+            kf_free = np.zeros((KF, NC, N), bool)
+            kf_valid = np.zeros(KF, bool)
+            T_WS_kf7 = np.tile(
+                np.array([0, 0, 0, 0, 0, 0, 1.0]), (KF, 1)
+            )
+            zero_xy = jnp.zeros((NC, N, 2), fdtype)
+            zero_sg = jnp.zeros((NC, N, B), fdtype)
+            for k in range(KF):
+                if k < len(top_ids):
+                    kid = top_ids[k]
+                    kfr = self._kf_store[kid]
+                    kf_xy_s.append(kfr[0]["stacked"]["xy"])
+                    kf_signs_s.append(kfr[0]["stacked"]["signs"])
+                    free = np.stack([f["mask"] for f in kfr]).copy()
+                    for (_l, c, kp) in estimator.obs_of_state(kid):
+                        if kp < N:
+                            free[c, kp] = False
+                    kf_free[k] = free
+                    kf_valid[k] = True
+                    T_WS_kf7[k] = estimator.states[kid].pose
+                else:
+                    kf_xy_s.append(zero_xy)
+                    kf_signs_s.append(zero_sg)
+            kf_xy_dev = jnp.stack(kf_xy_s)
+            kf_signs_dev = jnp.stack(kf_signs_s)
         else:
-            B = DESCRIPTOR_BITS
-            kf_stacked = {
-                "xy": jnp.zeros((NC, N, 2), fdtype),
-                "signs": jnp.zeros((NC, N, B), fdtype),
-            }
-            kf_free = np.zeros((NC, N), bool)
-            T_WS_kf7 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+            kf_xy_dev = jnp.zeros((KF, NC, N, 2), fdtype)
+            kf_signs_dev = jnp.zeros((KF, NC, N, B), fdtype)
+            kf_free = np.zeros((KF, NC, N), bool)
+            kf_valid = np.zeros(KF, bool)
+            T_WS_kf7 = np.tile(
+                np.array([0, 0, 0, 0, 0, 0, 1.0]), (KF, 1)
+            )
 
         diag, stacked = _frame_associate_device(
             self.cameras,
@@ -768,9 +815,10 @@ class Frontend:
             jnp.asarray(lm_init),
             table.signs,
             table.valid,
-            kf_stacked["xy"],
-            kf_stacked["signs"],
+            kf_xy_dev,
+            kf_signs_dev,
             jnp.asarray(kf_free),
+            jnp.asarray(kf_valid),
             jnp.asarray(T_WS_kf7, fdtype),
             jnp.asarray(cfg.map_match_radius, fdtype),
             jnp.asarray(cfg.ransac_threshold_deg, fdtype),
@@ -807,9 +855,9 @@ class Frontend:
         kp_mask = take(NC * N, (NC, N)) > 0.5
         idx = take(NC * cap, (NC, cap)).astype(np.int32)
         keep = take(NC * cap, (NC, cap)) > 0.5
-        ms_idx = take(NC * N, (NC, N)).astype(np.int32)
-        ms_hp = take(NC * N * 4, (NC, N, 4))
-        ms_good = take(NC * N, (NC, N)) > 0.5
+        ms_idx = take(KF * NC * N, (KF, NC, N)).astype(np.int32)
+        ms_hp = take(KF * NC * N * 4, (KF, NC, N, 4))
+        ms_good = take(KF * NC * N, (KF, NC, N)) > 0.5
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
         rot_frac = float(diag[off + 2])
         extra_np = diag[off + 3:]
@@ -844,24 +892,26 @@ class Frontend:
         # keyframe<->current matches, apparent parallax is spurious
         n_ms = 0
         if do_ms and rot_frac < cfg.rotation_only_veto:
-            for ci in range(NC):
-                fa = kf_frames[ci]
-                fr = frames[ci]
-                for a in np.nonzero(ms_good[ci])[0]:
-                    a = int(a)
-                    b = int(ms_idx[ci][a])
-                    lid = estimator.add_landmark(
-                        ms_hp[ci][a], initialised=True
-                    )
-                    estimator.add_observation(
-                        lid, kf_id, ci, a, fa["xy"][a], fa["size"][a]
-                    )
-                    estimator.add_observation(
-                        lid, sid, ci, b, fr["xy"][b], fr["size"][b]
-                    )
-                    table.stage_descriptor(lid, ci, b)
-                    self._desc_stage.append((lid, ci, b))
-                    n_ms += 1
+            for k, kid in enumerate(top_ids):
+                kfr = self._kf_store[kid]
+                for ci in range(NC):
+                    fa = kfr[ci]
+                    fr = frames[ci]
+                    for a in np.nonzero(ms_good[k][ci])[0]:
+                        a = int(a)
+                        b = int(ms_idx[k][ci][a])
+                        lid = estimator.add_landmark(
+                            ms_hp[k][ci][a], initialised=True
+                        )
+                        estimator.add_observation(
+                            lid, kid, ci, a, fa["xy"][a], fa["size"][a]
+                        )
+                        estimator.add_observation(
+                            lid, sid, ci, b, fr["xy"][b], fr["size"][b]
+                        )
+                        table.stage_descriptor(lid, ci, b)
+                        self._desc_stage.append((lid, ci, b))
+                        n_ms += 1
         table.flush(stacked["signs"])
         return frames, {
             "num_matched": n_matched, "num_motion_stereo": n_ms,
@@ -1142,9 +1192,71 @@ class Frontend:
         return n_new
 
     def remember_keyframe_frames(self, sid: int, frames):
-        """Store a keyframe's detection output for motion-stereo matching."""
+        """Store a keyframe's detection output (host xy/size/mask +
+        device-resident stacked arrays) for motion-stereo matching; the
+        store keeps every window keyframe so motion stereo can match the
+        top-K by overlap, evicting frames that left the window."""
+        store = getattr(self, "_kf_store", None)
+        if store is None:
+            store = {}
+            self._kf_store = store
+        store[sid] = frames
+        # legacy single-keyframe attributes (non-fused path + tests)
         self._kf_frames = frames
         self._kf_frames_id = sid
+        # evict beyond a small multiple of the match depth, oldest first
+        cap = max(2 * self.cfg.motion_stereo_keyframes, 8)
+        for old in sorted(store)[:-cap]:
+            del store[old]
+
+    def _rank_keyframes_by_overlap(
+        self, estimator: Estimator, T_WS_pred7, sid: int,
+        hp: np.ndarray, lm_mask: np.ndarray, top_k: int,
+    ):
+        """Rank stored keyframes by predicted view overlap with the
+        current frame: the count of map landmarks inside BOTH cam0
+        frusta (numpy proxy of the reference's projected-keypoint
+        overlapFraction, ViSlamBackend.cpp:2341+). Returns up to top_k
+        keyframe ids, best first."""
+        store = getattr(self, "_kf_store", {})
+        cand = [
+            s for s in store
+            if s != sid and s in estimator.states
+        ]
+        if not cand:
+            return []
+        pts = hp[:, :3][lm_mask]
+        if len(pts) < 8:
+            # too few map points to rank: fall back to most recent
+            return sorted(cand)[-top_k:][::-1]
+        cam0 = self.cameras[0]
+        fx = float(np.asarray(cam0.focal).ravel()[0])
+        half_w = (cam0.width * 0.5) / fx * 1.2
+        half_h = (cam0.height * 0.5) / fx * 1.2
+
+        def visible(pose7):
+            T_WC = se3_np.compose7(pose7, self.T_SC_np[0])
+            R = se3_np.quat_to_mat(T_WC[3:7])
+            pc = (pts - T_WC[:3]) @ R  # world -> camera
+            z = pc[:, 2]
+            return (
+                (z > 0.2)
+                & (np.abs(pc[:, 0]) < half_w * z)
+                & (np.abs(pc[:, 1]) < half_h * z)
+            )
+
+        cur = visible(np.asarray(T_WS_pred7))
+        scored = sorted(
+            (
+                (int((visible(estimator.states[s].pose) & cur).sum()), s)
+                for s in cand
+            ),
+            reverse=True,
+        )
+        top = [s for n, s in scored[:top_k] if n > 0]
+        if not top:
+            top = [max(cand)]
+        return top
 
     # ------------------------------------------------------------------
     def need_new_keyframe(self, estimator: Estimator, frames, sid: int) -> bool:

@@ -91,3 +91,41 @@ def test_gravity_aligned_description_matches_under_roll(world):
                        0.0, 0.0, np.sin(ang / 2), np.cos(ang / 2)])
     _, _, info = _run_frame(fe, est, ds, p_roll, 0.1)
     assert info["num_matched"] > 10, info
+
+
+def test_motion_stereo_multi_keyframe_coverage(world):
+    """Frontend.cpp:1742-1768: motion stereo ranks ALL window keyframes
+    by overlap and matches each. A sideways revisit whose best-overlap
+    keyframe is NOT the most recent one initialises more landmarks with
+    K=3 than with K=1 (last-keyframe-only)."""
+    cams, exts, imu, ds = world
+
+    def run(K):
+        cfg = FrontendConfig(
+            detection=DetectionConfig(max_keypoints=128),
+            map_match_capacity=256,
+            motion_stereo_keyframes=K,
+            # the veto is off here: after two stereo-initialised
+            # keyframes only a handful of free pairs feed the Wahba fit,
+            # making rot_frac uninformative; this test targets coverage
+            rotation_only_veto=1.1,
+        )
+        fe = Frontend(cams, exts, cfg)
+        est = Estimator(cams, exts, imu, EstimatorConfig())
+        # kf A and kf B are laterally displaced, each sharing a
+        # DIFFERENT part of the current mid-point view: matching only
+        # the single best-overlap keyframe leaves the other half's
+        # keypoints without a triangulation partner
+        p_A = np.array([0.0, 0, 0, 0, 0, 0, 1.0])
+        p_B = np.array([1.4, 0, 0, 0, 0, 0, 1.0])
+        _run_frame(fe, est, ds, p_A, 0.0, keyframe=True)
+        _run_frame(fe, est, ds, p_B, 0.5, keyframe=True)
+        p_cur = np.array([0.7, 0.05, 0.0, 0, 0, 0, 1.0])
+        _, _, info = _run_frame(fe, est, ds, p_cur, 1.0)
+        return info
+
+    info_k1 = run(1)
+    info_k3 = run(3)
+    assert info_k3["num_motion_stereo"] > info_k1["num_motion_stereo"], (
+        info_k1, info_k3
+    )
