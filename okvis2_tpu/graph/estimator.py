@@ -116,20 +116,82 @@ class StateRecord:
         self.imu_from: Optional[int] = None
 
 
+class _ObsDict(dict):
+    """Observation dict that bumps its landmark's revision on every
+    mutation — including DIRECT writes (loop-closure reactivation,
+    expandKeyframe, component load all assign lm.obs[key] = ... without
+    going through Estimator.add_observation). The revision keys the
+    per-landmark packed-row cache in pack_np, so a stale cache can
+    never survive a mutation."""
+
+    __slots__ = ("owner",)
+
+    def __init__(self, owner):
+        super().__init__()
+        self.owner = owner
+
+    def __setitem__(self, k, v):
+        self.owner.obs_rev += 1
+        super().__setitem__(k, v)
+
+    def __delitem__(self, k):
+        self.owner.obs_rev += 1
+        super().__delitem__(k)
+
+    def pop(self, *a):
+        self.owner.obs_rev += 1
+        return super().pop(*a)
+
+    def update(self, *a, **kw):
+        self.owner.obs_rev += 1
+        super().update(*a, **kw)
+
+    def clear(self):
+        self.owner.obs_rev += 1
+        super().clear()
+
+
 class LandmarkRecord:
     __slots__ = ("id", "hp_W", "quality", "initialised", "obs",
-                 "info_scale")
+                 "info_scale", "obs_rev", "_row_cache")
 
     def __init__(self, lid, hp_W):
         self.id = lid
         self.hp_W = np.asarray(hp_W, np.float64)  # [4]
         self.quality = 0.0
         self.initialised = False
+        self.obs_rev = 0
+        self._row_cache = None  # (obs_rev, rows [n,5]: sid,cam,u,v,8/sz)
         # obs: (state_id, cam_idx, kp_idx) -> (u, v, size)
-        self.obs: Dict[Tuple[int, int, int], Tuple[float, float, float]] = {}
+        self.obs: Dict[Tuple[int, int, int], Tuple[float, float, float]] = (
+            _ObsDict(self)
+        )
         # CNN suppression: information scale on ALL observations of this
         # landmark (sky/person -> 1e-4, Frontend.cpp:986-1011)
         self.info_scale = 1.0
+
+    def packed_rows(self) -> np.ndarray:
+        """Cached [n,5] float rows (sid, cam, u, v, 8/size) — rebuilt
+        only when this landmark's observations changed. The realtime
+        pack touches ~500 landmarks/frame of which only the freshly
+        matched few change, so this removes the dominant Python loop
+        from the frame-loop host time (the reference's persistent
+        ceres::Problem never repacks, ViGraph.cpp:47-62)."""
+        cache = self._row_cache
+        if cache is not None and cache[0] == self.obs_rev:
+            return cache[1]
+        if self.obs:
+            rows = np.array(
+                [
+                    (s, ci, u, v, 8.0 / size)
+                    for (s, ci, _kp), (u, v, size) in self.obs.items()
+                ],
+                np.float64,
+            )
+        else:
+            rows = np.zeros((0, 5), np.float64)
+        self._row_cache = (self.obs_rev, rows)
+        return rows
 
 
 class PoseGraphEdge:
@@ -393,15 +455,31 @@ class Estimator:
     # packing: host records -> WindowProblem
     # ------------------------------------------------------------------
     def _window_landmarks(self) -> List[int]:
-        """Landmarks observed from the window, best-first, up to capacity."""
+        """Landmarks observed from the window, best-first, up to
+        capacity. Initialised landmarks with a single window observation
+        are admitted at the bottom of the ranking: in the pipelined
+        (Phase-B) loop the current frame's matches are appended on
+        device AFTER this pack, so such a landmark may be about to gain
+        its second constraint — excluding it would silently drop that
+        match. Unmatched single-obs landmarks cost nothing (their Schur
+        block is damped)."""
         window = set(self.window)
         scored = []
         for lid, lm in self.landmarks.items():
             n_win = sum(1 for (s, _, _) in lm.obs if s in window)
-            if n_win >= 2 and lm.initialised:
+            if n_win >= 1 and lm.initialised:
                 scored.append((n_win, lid))
         scored.sort(reverse=True)
-        return [lid for _, lid in scored[: self.cfg.landmark_slots]]
+        sel = scored[: self.cfg.landmark_slots]
+        if len(scored) > len(sel):
+            _warn_capacity(
+                "landmark_slots",
+                f"window sees {len(scored)} landmarks, packing best "
+                f"{len(sel)} (landmark_slots={self.cfg.landmark_slots}) "
+                "— raise EstimatorConfig.landmark_slots to keep them all",
+            )
+        self._lm_nwin = {lid: n for n, lid in sel}
+        return [lid for _, lid in sel]
 
     def _np_template(self) -> WindowProblem:
         """A WindowProblem with NUMPY leaves at this estimator's
@@ -452,9 +530,20 @@ class Estimator:
         lm_slot = {lid: i for i, lid in enumerate(lm_ids)}
         lms = np.array(prob.landmarks)
         lmask = np.zeros(L, bool)
+        # weak isotropic anchors for under-constrained landmarks
+        # (HomogeneousPointError role): a single-observation landmark —
+        # packed so a Phase-B device-appended match can constrain it —
+        # must not slide along its one ray when no match arrives
+        lp = np.array(prob.lm_prior)
+        lp_sq = np.zeros(L)
+        lp_m = np.zeros(L, bool)
         for lid, i in lm_slot.items():
             lms[i] = self.landmarks[lid].hp_W
             lmask[i] = True
+            if self._lm_nwin.get(lid, 2) < 2:
+                lp[i] = self.landmarks[lid].hp_W
+                lp_sq[i] = 0.5  # sigma ~2 m: holds, doesn't bias
+                lp_m[i] = True
 
         # observations
         o_state = np.zeros(O, np.int32)
@@ -463,21 +552,54 @@ class Estimator:
         o_uv = np.zeros((O, 2))
         o_w = np.ones(O)
         o_mask = np.zeros(O, bool)
-        k = 0
+        # incremental row packing: per-landmark cached row arrays (only
+        # landmarks whose observations changed rebuild), combined and
+        # slot-mapped with vectorised numpy — no per-observation Python
+        # loop (the reference's persistent ceres::Problem never repacks)
+        sid_to_slot = np.full(self._next_state_id + 1, -1, np.int32)
+        for sid2, i in slot_of.items():
+            sid_to_slot[sid2] = i
+        parts, slots_l, scales_l, counts_l = [], [], [], []
         for lid in lm_ids:
             lm = self.landmarks[lid]
-            # CNN suppression: information x info_scale => sqrt-info x
-            # sqrt(info_scale) (Frontend.cpp:986-1011)
-            w_scale = float(np.sqrt(lm.info_scale))
-            for (sid2, ci, _kp), (u, v, size) in lm.obs.items():
-                if sid2 in slot_of and k < O:
-                    o_state[k] = slot_of[sid2]
-                    o_cam[k] = ci
-                    o_lm[k] = lm_slot[lid]
-                    o_uv[k] = (u, v)
-                    o_w[k] = 8.0 / size * w_scale
-                    o_mask[k] = True
-                    k += 1
+            r = lm.packed_rows()
+            if len(r):
+                parts.append(r)
+                slots_l.append(lm_slot[lid])
+                # CNN suppression: information x info_scale => sqrt-info
+                # x sqrt(info_scale) (Frontend.cpp:986-1011)
+                scales_l.append(lm.info_scale)
+                counts_l.append(len(r))
+        k = 0
+        if parts:
+            allr = np.concatenate(parts)
+            counts = np.asarray(counts_l)
+            all_lm = np.repeat(
+                np.asarray(slots_l, np.int32), counts
+            )
+            all_sc = np.repeat(
+                np.sqrt(np.asarray(scales_l)), counts
+            )
+            st = sid_to_slot[allr[:, 0].astype(np.int64)]
+            idxs = np.nonzero(st >= 0)[0]
+            if len(idxs) > O:
+                _warn_capacity(
+                    "obs_slots",
+                    f"obs cap bound: dropped {len(idxs) - O} "
+                    f"observations (obs_slots={O}) — raise "
+                    "EstimatorConfig.obs_slots (the reference has "
+                    "no cap)",
+                )
+                idxs = idxs[:O]
+            k = len(idxs)
+            o_state[:k] = st[idxs]
+            o_cam[:k] = allr[idxs, 1].astype(np.int32)
+            o_lm[:k] = all_lm[idxs]
+            o_uv[:k] = allr[idxs, 2:4]
+            o_w[:k] = allr[idxs, 4] * all_sc[idxs]
+            o_mask[:k] = True
+        # Phase-B device-side append starts after the host-packed rows
+        self._n_obs_packed = k
 
         # IMU links between consecutive window slots
         pres = []
@@ -605,6 +727,9 @@ class Estimator:
             rel_T=r_T,
             rel_sqrt=r_sq,
             rel_mask=r_m,
+            lm_prior=lp,
+            lm_prior_sqrt=lp_sq,
+            lm_prior_mask=lp_m,
         )
         self._lm_ids = lm_ids
         self._slot_of = slot_of
@@ -647,15 +772,7 @@ class Estimator:
         if iterations is not None and iterations != cfg.max_iterations:
             cfg = dataclasses.replace(cfg, max_iterations=iterations)
 
-        layout = getattr(self, "_packed_layout", None)
-        if layout is None:
-            c = self.cfg
-            layout = PackedLayout(
-                c.window_slots, c.landmark_slots, c.obs_slots,
-                len(self.cameras), c.rel_slots, c.imu_seg_capacity,
-            )
-            self._packed_layout = layout
-            self._packed_bufs = layout.make_buffers()
+        layout = self._get_packed_layout()
         buf_f, buf_i = self._packed_bufs
 
         prob_np = self.pack_np()
@@ -672,6 +789,78 @@ class Estimator:
         except (AttributeError, NotImplementedError):
             pass
         self._pending_solve = (out, dict(self._slot_of), list(self._lm_ids))
+
+    def _get_packed_layout(self):
+        from okvis2_tpu.solver.packed_solve import PackedLayout
+
+        layout = getattr(self, "_packed_layout", None)
+        if layout is None:
+            c = self.cfg
+            layout = PackedLayout(
+                c.window_slots, c.landmark_slots, c.obs_slots,
+                len(self.cameras), c.rel_slots, c.imu_seg_capacity,
+            )
+            self._packed_layout = layout
+            self._packed_bufs = layout.make_buffers()
+        return layout
+
+    def dispatch_fused_solve(self, ctx, table,
+                             iterations: Optional[int] = None):
+        """Phase-B realtime solve: pack the window WITHOUT the current
+        frame's matches (the host hasn't seen them — no readback
+        happened), and dispatch a solve that appends the match rows ON
+        DEVICE straight from the fused frontend program's outputs. The
+        returned flat device array is [solve_out | frontend diag];
+        its host copy starts immediately and is consumed at the START
+        of the next frame (slam.py pipelined loop), so steady-state
+        frames block on a transfer that has had a whole frame to cross
+        the tunnel. Reference analogue: the detect/optimise overlap of
+        ThreadedSlam.cpp:466-469, 551-552, with the matcher->solver
+        hand-off never leaving the device."""
+        import time as _time
+
+        from okvis2_tpu.solver.packed_solve import solve_packed_fused
+
+        cfg = self._solver_cfg
+        if iterations is None and self.cfg.enforce_realtime:
+            if getattr(self, "_last_solve_wall", 0.0) \
+                    > self.cfg.realtime_time_limit:
+                iterations = self.cfg.realtime_min_iterations
+        if iterations is not None and iterations != cfg.max_iterations:
+            cfg = dataclasses.replace(cfg, max_iterations=iterations)
+
+        layout = self._get_packed_layout()
+        buf_f, buf_i = self._packed_bufs
+        prob_np = self.pack_np()
+        layout.fill(buf_f, buf_i, prob_np)
+
+        # landmark-table slot -> this pack's solver landmark slot
+        cap = table.capacity
+        lm_slot_map = np.full(cap, -1, np.int32)
+        w_scale = np.ones(cap, np.float32)
+        lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
+        for lid, s in table.slot_of.items():
+            i = lm_index.get(lid)
+            if i is not None:
+                lm_slot_map[s] = i
+                w_scale[s] = np.sqrt(self.landmarks[lid].info_scale)
+        cur_slot = self._slot_of[ctx["sid"]]
+
+        self._solve_t0 = _time.perf_counter()
+        m = ctx["match"]
+        out = solve_packed_fused(
+            buf_f, buf_i, m["idx"], m["keep"], m["xy"], m["size"],
+            jnp.asarray(lm_slot_map), jnp.asarray(w_scale),
+            jnp.asarray(cur_slot, jnp.int32),
+            jnp.asarray(self._n_obs_packed, jnp.int32),
+            ctx["diag"],
+            self.cameras, self.imu_params, layout, cfg,
+        )
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return out
 
     def solve_out_size(self) -> int:
         """Length of solve_packed's flat output for this configuration."""
@@ -1106,6 +1295,20 @@ def _set_row(full: np.ndarray, i: int, one: np.ndarray) -> np.ndarray:
     full = np.asarray(full).copy()
     full[i] = np.asarray(one)
     return full
+
+
+_warn_counts: Dict[str, int] = {}
+
+
+def _warn_capacity(key: str, msg: str):
+    """Log capacity-bound truncation (weak spot vs the uncapped
+    reference), rate-limited: first occurrence, then every 64th."""
+    import logging
+
+    n = _warn_counts.get(key, 0)
+    _warn_counts[key] = n + 1
+    if n % 64 == 0:
+        logging.getLogger("okvis2_tpu").warning("%s (x%d)", msg, n + 1)
 
 
 # -- numpy quaternion helpers (xyzw, Eigen convention like core/so3) --

@@ -346,7 +346,10 @@ def _frame_associate_device(
         extra_flat.astype(jnp.float32).ravel(),
     ])
     stacked = {"xy": xy, "mask": kp_mask, "signs": kp_signs}
-    return diag, stacked
+    # device-resident match tensors for the Phase-B fused solve (obs
+    # rows are appended on device without any host readback)
+    match = {"idx": idx, "keep": keep, "xy": xy, "size": det["size"]}
+    return diag, stacked, match
 
 
 def _stereo_pair(
@@ -725,7 +728,25 @@ class Frontend:
         Replaces the detectAndDescribe -> matchToMap -> runRansac3d2d ->
         matchMotionStereo sequence (Frontend.cpp:221-269, 558-1015) with
         tunnel-friendly orchestration: ~60 ms per roundtrip means the
-        frame loop can afford exactly one."""
+        frame loop can afford exactly one. The pipelined frame loop
+        (slam.py, Phase B) splits this into dispatch_frame (no readback)
+        + finish_frame (next frame, on the lagged combined output)."""
+        ctx = self.dispatch_frame(
+            estimator, images, sid, T_WS_pred7, extra_flat=extra_flat
+        )
+        if between_dispatch_hook is not None:
+            # the device is busy with the fused program; overlap host
+            # work (e.g. integrating the previous frame's solve) with it
+            between_dispatch_hook()
+        diag_np = np.asarray(ctx["diag"])  # the frame's ONE readback
+        return self.finish_frame(estimator, ctx, diag_np)
+
+    def dispatch_frame(self, estimator: Estimator, images, sid: int,
+                       T_WS_pred7: np.ndarray, extra_flat=None):
+        """Prep + the fused frontend dispatch, NO readback. Returns a
+        ctx dict holding the device handles (diag, stacked detection
+        arrays, match tensors for the Phase-B device-side observation
+        append) and the host-side decode context."""
         from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
 
         cfg = self.cfg
@@ -804,7 +825,7 @@ class Frontend:
                 np.array([0, 0, 0, 0, 0, 0, 1.0]), (KF, 1)
             )
 
-        diag, stacked = _frame_associate_device(
+        diag, stacked, match = _frame_associate_device(
             self.cameras,
             self._next_key(),
             jnp.asarray(imgs),
@@ -835,11 +856,26 @@ class Frontend:
             do_ms,
             cfg.gravity_aligned_description,
         )
-        if between_dispatch_hook is not None:
-            # the device is busy with the fused program; overlap host
-            # work (e.g. integrating the previous frame's solve) with it
-            between_dispatch_hook()
-        diag = np.asarray(diag)  # the frame's ONE blocking readback
+        return {
+            "sid": sid, "diag": diag, "stacked": stacked,
+            "match": match, "do_ms": do_ms, "top_ids": top_ids,
+            "NC": NC, "N": N, "cap": cap, "KF": KF,
+        }
+
+    def finish_frame(self, estimator: Estimator, ctx, diag: np.ndarray):
+        """Decode the fused program's flat diagnostics and do the host
+        bookkeeping (observation + landmark insertion, descriptor table
+        staging). `diag` is the host copy of ctx["diag"] — fetched
+        synchronously (associate_frame) or arriving one frame late
+        through the combined Phase-B readback (slam.py pipelined loop).
+        Returns (frames, info)."""
+        cfg = self.cfg
+        table = self.table
+        sid = ctx["sid"]
+        stacked = ctx["stacked"]
+        do_ms = ctx["do_ms"]
+        top_ids = ctx["top_ids"]
+        NC, N, cap, KF = ctx["NC"], ctx["N"], ctx["cap"], ctx["KF"]
 
         # ---- decode the flat diagnostics ----
         off = 0

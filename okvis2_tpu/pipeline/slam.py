@@ -55,7 +55,18 @@ class SlamSystem:
         do_loop_closures: bool = False,
         loop_closure_config=None,
         cnn_params=None,
+        pipelined: bool = False,
     ):
+        # Phase-B pipelined frame loop: ZERO blocking readbacks per
+        # steady-state frame. The fused frontend program's match rows
+        # are appended to the packed window problem ON DEVICE and solved
+        # in the same dispatch chain; the combined [solve | diag] output
+        # is consumed at the START of the next frame, after its copy has
+        # had a whole frame period to cross the tunnel. Host bookkeeping
+        # (observation insertion, keyframe work, loop closure,
+        # marginalisation) runs one frame behind the device.
+        self.pipelined = pipelined
+        self._pending_frame = None
         self.estimator = Estimator(
             cameras, extrinsics, imu_params, estimator_config
         )
@@ -72,6 +83,13 @@ class SlamSystem:
                 cameras, extrinsics,
                 loop_closure_config or LoopClosureConfig(),
             )
+            if pipelined:
+                # compile the smallest full-graph program in the
+                # background now so the first loop closure doesn't pay
+                # a foreground (remote) compile stall
+                self.loop_backend.prewarm_shapes_async(
+                    self.estimator, 32, 64, 256, 64
+                )
         self.cnn = None
         if cnn_params is not None:
             from okvis2_tpu.models.suppression import CnnSuppressor
@@ -237,6 +255,77 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def process_frame(self) -> bool:
         """Process the next queued frame set. Returns False if none."""
+        if self.pipelined:
+            return self._process_frame_pipelined()
+        return self._process_frame_sync()
+
+    def _process_frame_pipelined(self) -> bool:
+        """Phase-B frame loop (see __init__): finish the previous
+        frame's lagged output, then dispatch this frame's fused
+        frontend + device-append + solve chain without ANY readback."""
+        if not self._image_queue:
+            return False
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
+        with SwitchableTimer("0 finish previous frame"):
+            self._finish_pending()
+        t, images = self._image_queue.popleft()
+        est = self.estimator
+        imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
+        self._last_frame_t = t
+        sid = est.add_state(t, imu_w, imu_a, imu_dt)
+        T_WS_pred7 = est.states[sid].pose  # fresh: prev solve applied
+
+        with SwitchableTimer("1 frontend dispatch"):
+            ctx = self.frontend.dispatch_frame(
+                est, images, sid, T_WS_pred7
+            )
+        # the device crunches detection/matching while the host packs
+        with SwitchableTimer("3 pack + fused solve dispatch"):
+            out = est.dispatch_fused_solve(ctx, self.frontend.table)
+        self._pending_frame = {
+            "t": t, "sid": sid, "ctx": ctx, "out": out,
+            "slot_of": dict(est._slot_of), "lm_ids": list(est._lm_ids),
+            "images": images,
+        }
+        self.frames_processed += 1
+        return True
+
+    def _finish_pending(self):
+        """Consume the previous frame's combined [solve | diag] output
+        and run its host bookkeeping: observation insertion, solve
+        application, keyframe work, loop closure, marginalisation,
+        callbacks — the one-frame-lagged half of the pipelined loop."""
+        p = self._pending_frame
+        if p is None:
+            return
+        self._pending_frame = None
+        est = self.estimator
+        # a full-graph solve dispatched at the last loop closure lands
+        # here, one frame later (its copy crossed in the background)
+        if self.loop_backend is not None:
+            self.loop_backend.apply_pending_full_graph(est)
+        out = np.asarray(p["out"])  # lagged: in flight a whole frame
+        n_solve = est.solve_out_size()
+        solve_np, diag_np = out[:n_solve], out[n_solve:]
+        sid = p["sid"]
+        frames, m = self.frontend.finish_frame(est, p["ctx"], diag_np)
+        est.apply_solved_flat(solve_np, p["slot_of"], p["lm_ids"])
+        if est.cfg.online_extrinsics:
+            self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
+        self._frame_epilogue(
+            p["t"], sid, frames, m, p["images"], dispatch_solve=False
+        )
+
+    def finish(self):
+        """Drain the pipelined loop (call after the last frame)."""
+        self._finish_pending()
+        if self.loop_backend is not None:
+            # a full-graph solve dispatched by the very last frame's
+            # loop closure still needs integrating
+            self.loop_backend.apply_pending_full_graph(self.estimator)
+
+    def _process_frame_sync(self) -> bool:
         if not self._image_queue:
             return False
         t, images = self._image_queue.popleft()
@@ -278,6 +367,18 @@ class SlamSystem:
                 # calibrated extrinsics feed back into the frontend's
                 # projection/epipolar geometry
                 self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
+        self._frame_epilogue(t, sid, frames, m, images,
+                             dispatch_solve=True)
+        self.frames_processed += 1
+        return True
+
+    def _frame_epilogue(self, t, sid, frames, m, images,
+                        dispatch_solve: bool):
+        """Keyframe work, loop closure, (optionally) the realtime solve
+        dispatch, marginalisation, tracking state and callbacks — shared
+        by the synchronous and pipelined frame loops."""
+        est = self.estimator
+        from okvis2_tpu.utils.timing import SwitchableTimer
 
         # 3. keyframe decision (before stereo init, like the reference)
         is_kf = self.frontend.need_new_keyframe(est, frames, sid)
@@ -309,19 +410,33 @@ class SlamSystem:
                         est, sid, frames
                     )
                     self.loop_backend.add_keyframe(est, sid, frames)
+                # multi-session relocalisation against loaded components
+                # (their own databases; works from an unknown pose)
+                if self.loop_backend.has_components():
+                    v = self.loop_backend.relocalise(est, sid, frames)
+                    if v is not None:
+                        self._apply_relocalisation(est, sid, frames, v)
 
         # 5b. loop closure first (it rewrites poses + landmarks and
         # solves the full graph inline; the realtime dispatch below then
         # starts from the corrected state)
         if loop_old_id is not None:
+            # pipelined: dispatch the full-graph solve and integrate it
+            # at the NEXT frame (the reference backgrounds this work,
+            # ViSlamBackend.cpp:1726-1757); the drift distribution has
+            # already corrected the live states synchronously
             self.loop_backend.close_loop(
-                est, loop_old_id, sid, frames, self.frontend
+                est, loop_old_id, sid, frames, self.frontend,
+                async_solve=self.pipelined,
             )
 
         # 5. dispatch the realtime window solve; its results integrate
-        # at the START of the next frame (no blocking here)
-        with SwitchableTimer("3 optimise dispatch"):
-            est.optimise_async()
+        # at the START of the next frame (no blocking here). The
+        # pipelined loop skips this: its solve already ran fused with
+        # the frame's own dispatch chain.
+        if dispatch_solve:
+            with SwitchableTimer("3 optimise dispatch"):
+                est.optimise_async()
 
         # 6. marginalisation strategy (host bookkeeping; uses the state
         # as of the last applied solve, like the reference's
@@ -357,8 +472,43 @@ class SlamSystem:
                 f"{m.get('num_motion_stereo', 0)},"
                 f"{m.get('ransac_inliers', 0)},{len(est.landmarks)}\n"
             )
-        self.frames_processed += 1
-        return True
+
+    # ------------------------------------------------------------------
+    def _apply_relocalisation(self, est, sid, frames, v):
+        """Multi-session relocalisation: when the verified map-frame
+        pose disagrees with the session estimate, rigidly move the
+        ENTIRE session (states, world velocities, session landmarks —
+        not the loaded map) onto the map frame, then adopt the matched
+        old-map landmarks as observations of this frame (the reference
+        re-anchors via T_AiS and the loop-closure machinery,
+        ViSlamBackend.hpp:686-687, Frontend.cpp:674-749)."""
+        from okvis2_tpu.core import se3_np
+
+        T_meas = np.asarray(v["T_WS7"])
+        T_est = est.states[sid].pose
+        d_pos = float(np.linalg.norm(T_meas[:3] - T_est[:3]))
+        dq = se3_np.quat_mul(
+            se3_np.quat_conj(T_est[3:7]), T_meas[3:7]
+        )
+        d_rot = float(np.linalg.norm(se3_np.log_so3(dq)))
+        if d_pos > 0.05 or d_rot > 0.05:
+            T_corr = se3_np.compose7(T_meas, se3_np.inverse7(T_est))
+            R = se3_np.quat_to_mat(T_corr[3:7])
+            loaded = getattr(self, "_loaded_lids", set())
+            for rec in est.states.values():
+                rec.pose = se3_np.compose7(T_corr, rec.pose)
+                rec.speed_bias = rec.speed_bias.copy()
+                rec.speed_bias[:3] = R @ rec.speed_bias[:3]
+            for lid, lm in est.landmarks.items():
+                if lid in loaded:
+                    continue
+                hp = lm.hp_W
+                p = R @ hp[:3] + T_corr[:3] * hp[3]
+                lm.hp_W = np.concatenate([p, hp[3:4]])
+        self.loop_backend._merge_loop_landmarks(
+            est, sid, v["pairs"], frames, self.frontend
+        )
+        self._relocalisations = getattr(self, "_relocalisations", 0) + 1
 
     # ------------------------------------------------------------------
     def _reinitialise(self):
@@ -378,6 +528,7 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def trajectory(self):
+        self._finish_pending()  # pipelined: fold in the in-flight frame
         return self.estimator.trajectory()
 
     # ------------------------------------------------------------------
@@ -410,19 +561,31 @@ class SlamSystem:
             new_id = self.estimator.add_landmark(hp, initialised=True)
             id_map[lid] = new_id
         loaded = {}
+        kf_docs = {}
         for obs in data["observations"]:
-            if "descriptor" in obs and obs["lid"] in id_map:
+            if obs["lid"] not in id_map:
+                continue
+            new_id = id_map[obs["lid"]]
+            kf_docs.setdefault(obs["sid"], []).append(new_id)
+            if "descriptor" in obs:
                 packed = obs["descriptor"]
                 bits = (
                     (packed[:, None] >> np.arange(32, dtype=np.uint32)) & 1
                 ).reshape(-1)
                 signs = np.where(bits > 0, 1.0, -1.0).astype(np.float32)
-                new_id = id_map[obs["lid"]]
                 self.frontend.lm_descriptors[new_id] = signs
                 loaded[new_id] = signs
         # the loaded landmarks must enter the device-resident matching
         # table or match-to-map will never see them
         self.frontend.table.load_host_descriptors(loaded)
+        # landmarks of this load are anchored to the loaded map frame:
+        # a relocalisation correction moves the SESSION, not them
+        self._loaded_lids = getattr(self, "_loaded_lids", set())
+        self._loaded_lids |= set(id_map.values())
+        # per-component place-recognition database: relocalisation from
+        # an unknown pose (Frontend.cpp:180-218, 674-749)
+        if self.loop_backend is not None and loaded:
+            self.loop_backend.add_component(kf_docs, loaded)
         return len(id_map)
 
     # ------------------------------------------------------------------

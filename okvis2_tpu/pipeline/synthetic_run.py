@@ -53,9 +53,14 @@ def run_synthetic_vio(
     trajectory: str = "default",
     do_loop_closures: bool = False,
     n_stars: int = 3000,
+    pipelined: bool = False,
+    rig=None,
 ):
-    """Returns dict with ate, trajectories, timing breakdown."""
-    cams, exts = small_rig(width, height)
+    """Returns dict with ate, trajectories, timing breakdown. `rig`
+    optionally injects a (cameras, extrinsics) pair (fisheye /
+    multi-camera regression variants) instead of the default stereo
+    radtan rig."""
+    cams, exts = rig if rig is not None else small_rig(width, height)
     imu_params = ImuParameters.create(g=9.81)
     if estimator_config is None:
         estimator_config = EstimatorConfig(
@@ -68,7 +73,8 @@ def run_synthetic_vio(
         detection=DetectionConfig(max_keypoints=max_keypoints),
     )
     slam = SlamSystem(cams, exts, imu_params, estimator_config, fe_cfg,
-                      do_loop_closures=do_loop_closures)
+                      do_loop_closures=do_loop_closures,
+                      pipelined=pipelined)
     ds = SyntheticDataset(
         cams, exts, imu_params,
         duration=duration, frame_rate=frame_rate, imu_noise=imu_noise,
@@ -126,6 +132,7 @@ def run_regression_drive(
     frame_rate: float = 10.0,
     imu_noise: float = 1.0,
     verbose: bool = True,
+    **kwargs,
 ):
     """The long-horizon accuracy fixture (round-2 answer to 'no run ever
     exceeded 8 frames'): a >=600-frame loopy circle drive with noisy IMU
@@ -141,4 +148,5 @@ def run_regression_drive(
         verbose=verbose,
         trajectory="circle",
         do_loop_closures=True,
+        **kwargs,
     )

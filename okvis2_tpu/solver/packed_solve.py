@@ -128,6 +128,99 @@ def solve_packed(
     return out
 
 
+def _append_matches(
+    problem: WindowProblem,
+    idx: jnp.ndarray,  # [NC,cap] matched keypoint per landmark table slot
+    keep: jnp.ndarray,  # [NC,cap] RANSAC-surviving matches
+    xy: jnp.ndarray,  # [NC,N,2] this frame's keypoints
+    size: jnp.ndarray,  # [NC,N]
+    lm_slot_map: jnp.ndarray,  # [cap] table slot -> solver lm slot (-1: none)
+    w_scale: jnp.ndarray,  # [cap] per-landmark sqrt(info_scale)
+    cur_slot: jnp.ndarray,  # [] window slot of the current state
+    n_obs_base: jnp.ndarray,  # [] filled obs rows in the host pack
+) -> WindowProblem:
+    """Append the CURRENT frame's match rows to the packed observation
+    arrays ON DEVICE (Phase B of the tunnel plan): the host never sees
+    this frame's matches before the solve — they flow straight from the
+    fused frontend program into the window problem, and the diagnostics
+    ride the next frame's readback. Fixed shapes throughout: compacted
+    scatter positions with mode="drop" for overflow."""
+    NC, cap = idx.shape
+    valid = keep & (lm_slot_map >= 0)[None, :]
+    vflat = valid.reshape(-1)
+    pos = n_obs_base + jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    O = problem.obs_mask.shape[0]
+    tgt = jnp.where(vflat, pos, O)  # out of range -> dropped
+    kp = idx.reshape(-1)
+    ci = jnp.repeat(jnp.arange(NC, dtype=jnp.int32), cap)
+    uv = xy[ci, kp]
+    sz = size[ci, kp]
+    fdt = problem.obs_uv.dtype
+    w = (8.0 / jnp.maximum(sz, 1e-6)).astype(fdt) * jnp.tile(
+        w_scale.astype(fdt), NC
+    )
+    lm_slot = jnp.tile(jnp.maximum(lm_slot_map, 0), NC)
+    cur = jnp.broadcast_to(
+        cur_slot.astype(problem.obs_state.dtype), tgt.shape
+    )
+    return dataclasses.replace(
+        problem,
+        obs_state=problem.obs_state.at[tgt].set(cur, mode="drop"),
+        obs_cam=problem.obs_cam.at[tgt].set(ci, mode="drop"),
+        obs_lm=problem.obs_lm.at[tgt].set(lm_slot, mode="drop"),
+        obs_uv=problem.obs_uv.at[tgt].set(uv.astype(fdt), mode="drop"),
+        obs_sqrt_info=problem.obs_sqrt_info.at[tgt].set(
+            w, mode="drop"
+        ),
+        obs_mask=problem.obs_mask.at[tgt].set(True, mode="drop"),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "config"))
+def solve_packed_fused(
+    flat_f: jnp.ndarray,
+    flat_i: jnp.ndarray,
+    idx: jnp.ndarray,
+    keep: jnp.ndarray,
+    xy: jnp.ndarray,
+    size: jnp.ndarray,
+    lm_slot_map: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    cur_slot: jnp.ndarray,
+    n_obs_base: jnp.ndarray,
+    diag: jnp.ndarray,
+    cameras,
+    imu_params,
+    layout: PackedLayout,
+    config: SolverConfig,
+):
+    """Phase-B solve: unflatten the host pack, append the current
+    frame's device-resident match rows, solve, and return ONE flat
+    array [solve_out | frontend diag] — the frame's single (lagged)
+    readback carries both."""
+    problem = layout.unflatten(flat_f, flat_i)
+    problem = _append_matches(
+        problem, idx, keep, xy, size, lm_slot_map, w_scale,
+        cur_slot, n_obs_base,
+    )
+    solved, stats = solve_window_impl(problem, cameras, imu_params, config)
+    dtype = solved.pose.dtype
+    out = jnp.concatenate([
+        solved.pose.ravel(),
+        solved.speed_bias.ravel(),
+        solved.landmarks.ravel(),
+        solved.extrinsics.ravel(),
+        jnp.stack([
+            stats["initial_cost"].astype(dtype),
+            stats["final_cost"].astype(dtype),
+            stats["iterations"].astype(dtype),
+            stats["lambda"].astype(dtype),
+        ]),
+        diag.astype(dtype).ravel(),
+    ])
+    return out
+
+
 def decode_solved(out, S: int, L: int, NC: int):
     """Host-side decode of solve_packed's flat output."""
     import numpy as np
