@@ -116,6 +116,10 @@ class LoopClosureBackend:
         self.num_loop_closures = 0
         self.num_rejected_by_budget = 0
         self._pr_ids: List[int] = []
+        # loaded-map components, each with its own queryable database
+        # (Frontend::loadComponent fills per-component DBoW databases,
+        # Frontend.cpp:180-218)
+        self._components: List[dict] = []
         # debug/introspection: last query results + last verify diagnosis
         self.last_query_results = []
         self.last_verify_info = ""
@@ -149,22 +153,30 @@ class LoopClosureBackend:
                 return False
         return True
 
+    @staticmethod
+    def _stack_frames(frames):
+        """[NC,N,...] host stacks of a keyframe's per-camera data."""
+        signs = np.stack([f["signs_np"] for f in frames])
+        mask = np.stack([np.asarray(f["mask"], bool) for f in frames])
+        xy = np.stack([np.asarray(f["xy"]) for f in frames])
+        return signs, mask, xy
+
     def add_keyframe(self, estimator: Estimator, sid: int, frames):
-        """Register a keyframe for place recognition (reference: DBoW
-        database.add of cam0 descriptors), unless pruned for overlap."""
+        """Register a keyframe for place recognition, unless pruned for
+        overlap. The BoW document concatenates ALL cameras' descriptors
+        (the reference builds its DBoW features the same way,
+        Frontend.cpp:660-673) — a stereo rig doubles recall, a Hilti rig
+        7x's it."""
         if not self._pr_eligible(estimator, sid):
             return
         self._pr_ids.append(sid)
-        f0 = frames[0]
-        signs = f0["signs_np"]
-        mask = np.asarray(f0["mask"])
-        self._kf_data[sid] = {
-            "signs": signs,
-            "mask": mask,
-            "xy": np.asarray(f0["xy"]),
-        }
+        signs, mask, xy = self._stack_frames(frames)
+        self._kf_data[sid] = {"signs": signs, "mask": mask, "xy": xy}
+        B = signs.shape[-1]
+        flat_signs = signs.reshape(-1, B)
+        flat_mask = mask.reshape(-1)
         if self.voc is None:
-            self._train_buffer.append(signs[mask])
+            self._train_buffer.append(flat_signs[flat_mask])
             total = sum(len(b) for b in self._train_buffer)
             if total >= self.cfg.min_train_descriptors:
                 train = np.concatenate(self._train_buffer)
@@ -174,21 +186,27 @@ class LoopClosureBackend:
                 self.db = PlaceRecognitionDatabase(self.voc)
                 # backfill database
                 for kid, d in self._kf_data.items():
-                    self.db.add(kid, d["signs"], d["mask"])
+                    Bk = d["signs"].shape[-1]
+                    self.db.add(
+                        kid, d["signs"].reshape(-1, Bk),
+                        d["mask"].reshape(-1),
+                    )
                 self._train_buffer = []
             return
-        self.db.add(sid, signs, mask)
+        self.db.add(sid, flat_signs, flat_mask)
 
     # ------------------------------------------------------------------
     def detect_loop(self, estimator: Estimator, sid: int, frames) -> Optional[int]:
-        """Query place recognition for the current keyframe; verify
-        geometrically; return the matched old keyframe id or None."""
+        """Query place recognition for the current keyframe (all
+        cameras' descriptors); verify geometrically; return the matched
+        old keyframe id or None."""
         if self.db is None or len(self.db) < self.cfg.exclude_recent + 2:
             return None
-        f0 = frames[0]
+        signs, mask, _xy = self._stack_frames(frames)
+        B = signs.shape[-1]
         results = self.db.query(
-            f0["signs_np"],
-            np.asarray(f0["mask"]),
+            signs.reshape(-1, B),
+            mask.reshape(-1),
             exclude_recent=self.cfg.exclude_recent,
             min_score=self.cfg.min_score,
         )
@@ -201,63 +219,76 @@ class LoopClosureBackend:
 
     def _verify(self, estimator: Estimator, old_id: int, sid: int, frames):
         """Geometric verification (verifyRecognisedPlace,
-        Frontend.cpp:271-555): match current cam0 descriptors against the
-        old keyframe's landmarks, absolute-pose RANSAC, then a GN pose
-        refine whose 6x6 Hessian is the edge information. Returns dict
-        {T_SW7, H, sqrt_info, pairs} or None."""
+        Frontend.cpp:271-555): match the current frame's descriptors
+        (ALL cameras) against the old keyframe's landmarks, rig
+        absolute-pose RANSAC, then a GN pose refine whose 6x6 Hessian is
+        the edge information. Returns dict {T_WS7, H, sqrt_info, pairs}
+        or None; pairs are (lid, cam, kp) of the current frame."""
         cfg = self.cfg
         old = self._kf_data.get(old_id)
         if old is None:
             return None
-        # landmarks observed by the old keyframe (with world positions);
-        # keyed by landmark id so a landmark seen both live and in a
+        N_old = old["signs"].shape[1]
+        # landmarks observed by the old keyframe (any camera), keyed by
+        # landmark id so a landmark seen both live and in a
         # marginalisation edge's stored_obs (or in several edges) enters
         # the verify problem ONCE — duplicates would double-count in the
         # RANSAC inlier count, ratio test, and refine Hessian
-        entry_of: Dict[int, int] = {}
+        entry_of: Dict[int, Tuple[int, int]] = {}
         for lid, lm in estimator.landmarks.items():
             for (s, ci, kp) in lm.obs:
-                if s == old_id and ci == 0:
-                    entry_of[lid] = kp
+                if s == old_id and kp < N_old:
+                    entry_of[lid] = (ci, kp)
                     break
         # landmarks of marginalised edges (stored observations)
         for e in estimator.pose_graph_edges:
             for (lid, s, ci, kp, u, v, size) in e.stored_obs:
-                if (s == old_id and ci == 0 and lid not in entry_of
+                if (s == old_id and kp < N_old and lid not in entry_of
                         and lid in estimator.landmarks):
-                    entry_of[lid] = kp
-        lm_entries = list(entry_of.items())
+                    entry_of[lid] = (ci, kp)
+        lm_entries = [
+            (lid, old["signs"][ci][kp])
+            for lid, (ci, kp) in entry_of.items()
+        ]
         if len(lm_entries) < cfg.min_inliers:
             self.last_verify_info = f"few lm_entries {len(lm_entries)}"
             return None
-        # descriptor of each landmark = old keyframe's keypoint descriptor
-        sel = [
-            (lid, kp) for lid, kp in lm_entries if kp < len(old["signs"])
-        ]
-        if len(sel) < cfg.min_inliers:
-            self.last_verify_info = f"few sel {len(sel)}"
-            return None
+        pts = {
+            lid: estimator.landmarks[lid].hp_W[:3]
+            / max(estimator.landmarks[lid].hp_W[3], 1e-12)
+            for lid, _ in lm_entries
+        }
+        return self._verify_entries(lm_entries, pts, frames)
+
+    def _verify_entries(self, lm_entries, pts_of, frames):
+        """Core geometric verification shared by loop closure and
+        multi-session relocalisation: lm_entries = [(lid, signs)],
+        pts_of = {lid: p_W [3]}; matches against ALL cameras of the
+        current frame, rig P3P RANSAC, GN refine + Hessian."""
+        cfg = self.cfg
+        NC = len(self.cameras)
         # fixed-capacity padding throughout: variable landmark/match counts
         # would recompile the matching + RANSAC programs on every query
         cap = cfg.verify_capacity
-        sel = sel[:cap]
+        sel = lm_entries[:cap]
         n_sel = len(sel)
-        sg = np.zeros((cap,) + old["signs"].shape[1:], old["signs"].dtype)
-        sg[:n_sel] = np.stack([old["signs"][kp] for _, kp in sel])
+        B = sel[0][1].shape[-1]
+        sg = np.zeros((cap, B), sel[0][1].dtype)
+        sg[:n_sel] = np.stack([s for _, s in sel])
         sel_mask = np.zeros(cap, bool)
         sel_mask[:n_sel] = True
         pts_W = np.zeros((cap, 3))
-        pts_W[:n_sel] = np.stack([
-            estimator.landmarks[lid].hp_W[:3]
-            / max(estimator.landmarks[lid].hp_W[3], 1e-12)
-            for lid, _ in sel
-        ])
-        f0 = frames[0]
+        pts_W[:n_sel] = np.stack([pts_of[lid] for lid, _ in sel])
+        # current frame: all cameras' descriptors concatenated; matched
+        # keypoint index decodes as (cam, kp) = divmod(idx, N)
+        cur_signs = np.stack([f["signs_np"] for f in frames])
+        cur_mask = np.stack([np.asarray(f["mask"], bool) for f in frames])
+        N = cur_signs.shape[1]
         m = match_descriptors(
             jnp.asarray(sg),
             jnp.asarray(sel_mask),
-            jnp.asarray(f0["signs_np"]),
-            jnp.asarray(f0["mask"]),
+            jnp.asarray(cur_signs.reshape(NC * N, B)),
+            jnp.asarray(cur_mask.reshape(NC * N)),
             max_distance=cfg.verify_match_threshold,
         )
         ok = np.asarray(m["valid"])
@@ -265,11 +296,13 @@ class LoopClosureBackend:
             self.last_verify_info = f"few desc matches {int(ok.sum())}/{n_sel}"
             return None
         idx_np = np.asarray(m["idx_b"])
-        cam0 = self.cameras[0]
-        idx_full = jnp.asarray(np.where(ok, idx_np, 0))
-        uv = jnp.asarray(f0["xy"])[idx_full]
-        rays = cam0.back_project(uv)
-        cam_idx = jnp.zeros(cap, jnp.int32)
+        idx_full = np.where(ok, idx_np, 0)
+        rays_all = jnp.concatenate([
+            cam.back_project(jnp.asarray(np.asarray(f["xy"])))
+            for cam, f in zip(self.cameras, frames)
+        ])
+        rays = rays_all[jnp.asarray(idx_full)]
+        cam_idx = jnp.asarray((idx_full // N).astype(np.int32))
         T_SC7 = jnp.asarray(self.T_SC_np)
         res = ransac_rig_pose(
             self._next_key(),
@@ -302,7 +335,7 @@ class LoopClosureBackend:
             self.last_verify_info = "refine diverged"
             return None
         pairs = [
-            (sel[i][0], int(idx_np[i]))
+            (sel[i][0],) + divmod(int(idx_np[i]), N)
             for i in np.nonzero(inl[:n_sel])[0]
         ]
         return {
@@ -312,6 +345,89 @@ class LoopClosureBackend:
             "pairs": pairs,
             "num_inliers": n_in,
         }
+
+    # ------------------------------------------------------------------
+    # multi-session relocalisation (per-component databases)
+    # ------------------------------------------------------------------
+    def has_components(self) -> bool:
+        return bool(self._components)
+
+    def add_component(self, kf_docs: Dict[int, List[int]],
+                      lm_signs: Dict[int, np.ndarray]):
+        """Register a loaded component for place-recognition-based
+        relocalisation: kf_docs maps component keyframe id -> list of
+        observed landmark ids (SESSION ids after remapping); lm_signs
+        maps landmark id -> descriptor signs. Each component gets its
+        own queryable database (Frontend.cpp:180-218, queried at
+        :674-749) so a fresh session can relocalise from an UNKNOWN pose
+        — projection-gated matching alone needs the prediction to
+        already be roughly right."""
+        docs = {
+            kid: [l for l in lids if l in lm_signs]
+            for kid, lids in kf_docs.items()
+        }
+        docs = {k: v for k, v in docs.items() if len(v) >= 3}
+        if not docs:
+            return
+        if self.voc is None:
+            # bootstrap the vocabulary from the component's descriptors:
+            # relocalisation must work from frame one of a fresh session,
+            # before any online training data exists — and a previous
+            # session's descriptors are a far better sample than the
+            # first few keyframes of this one
+            train = np.stack([
+                lm_signs[l] for lids in docs.values() for l in lids
+            ])
+            self.voc = BinaryVocabulary.train(
+                train, n_words=min(self.cfg.vocabulary_size, len(train))
+            )
+            self.db = PlaceRecognitionDatabase(self.voc)
+            for kid, d in self._kf_data.items():
+                B = d["signs"].shape[-1]
+                self.db.add(
+                    kid, d["signs"].reshape(-1, B),
+                    d["mask"].reshape(-1),
+                )
+            self._train_buffer = []
+        cdb = PlaceRecognitionDatabase(self.voc)
+        for kid, lids in docs.items():
+            cdb.add(kid, np.stack([lm_signs[l] for l in lids]))
+        self._components.append({"db": cdb, "docs": docs,
+                                 "signs": lm_signs})
+
+    def relocalise(self, estimator: Estimator, sid: int, frames):
+        """Query every loaded component's database with the current
+        keyframe (all cameras) and geometrically verify WITHOUT any
+        pose prior. Returns the verify dict (T_WS7, pairs, sqrt_info,
+        ...) of the first verified hit, or None."""
+        if not self._components:
+            return None
+        signs, mask, _xy = self._stack_frames(frames)
+        B = signs.shape[-1]
+        q_signs = signs.reshape(-1, B)
+        q_mask = mask.reshape(-1)
+        for comp in self._components:
+            results = comp["db"].query(
+                q_signs, q_mask, min_score=self.cfg.min_score
+            )
+            self.last_query_results = results[:5]
+            for kid, _score in results[:3]:
+                lids = [
+                    l for l in comp["docs"][kid]
+                    if l in estimator.landmarks
+                ]
+                if len(lids) < self.cfg.min_inliers:
+                    continue
+                lm_entries = [(l, comp["signs"][l]) for l in lids]
+                pts_of = {
+                    l: estimator.landmarks[l].hp_W[:3]
+                    / max(estimator.landmarks[l].hp_W[3], 1e-12)
+                    for l in lids
+                }
+                v = self._verify_entries(lm_entries, pts_of, frames)
+                if v is not None:
+                    return v
+        return None
 
     # ------------------------------------------------------------------
     def _loop_chain(self, estimator: Estimator, old_id: int, sid: int):
@@ -436,34 +552,34 @@ class LoopClosureBackend:
         old-map landmark (the reference's matchToMap restricted to
         loopClosureLandmarks inserts exactly these), so old-map points
         constrain the loop BA even where tracking never picked them up."""
-        # current frame's kp -> landmark map (cam0)
+        # current frame's (cam, kp) -> landmark map
         kp_lm = {}
         for lid, lm in estimator.landmarks.items():
             for (s, ci, kp) in lm.obs:
-                if s == sid and ci == 0:
-                    kp_lm[kp] = lid
+                if s == sid:
+                    kp_lm[(ci, kp)] = lid
         n = 0
         n_new_obs = 0
-        f0 = frames[0] if frames is not None else None
-        for (lid_old, kp) in pairs:
-            lid_new = kp_lm.get(kp)
+        for (lid_old, ci, kp) in pairs:
+            lid_new = kp_lm.get((ci, kp))
+            fr = frames[ci] if frames is not None else None
             if lid_new is not None and lid_new != lid_old \
                     and lid_old in estimator.landmarks \
                     and lid_new in estimator.landmarks:
                 estimator.merge_landmarks(lid_old, lid_new)
                 n += 1
             elif (lid_new is None and lid_old in estimator.landmarks
-                  and f0 is not None and kp < len(f0["xy"])
-                  and f0["mask"][kp]):
+                  and fr is not None and kp < len(fr["xy"])
+                  and fr["mask"][kp]):
                 estimator.add_observation(
-                    lid_old, sid, 0, kp, f0["xy"][kp], f0["size"][kp]
+                    lid_old, sid, ci, kp, fr["xy"][kp], fr["size"][kp]
                 )
                 if frontend is not None:
-                    frontend.table.stage_descriptor(lid_old, 0, kp)
+                    frontend.table.stage_descriptor(lid_old, ci, kp)
                 n_new_obs += 1
-        if n_new_obs and frontend is not None and f0 is not None \
-                and "stacked" in f0:
-            frontend.table.flush(f0["stacked"]["signs"])
+        if n_new_obs and frontend is not None and frames is not None \
+                and "stacked" in frames[0]:
+            frontend.table.flush(frames[0]["stacked"]["signs"])
         self.num_loop_observations = getattr(
             self, "num_loop_observations", 0
         ) + n_new_obs
@@ -491,9 +607,13 @@ class LoopClosureBackend:
 
     # ------------------------------------------------------------------
     def close_loop(self, estimator: Estimator, old_id: int, sid: int,
-                   frames, frontend=None):
+                   frames, frontend=None, async_solve: bool = False):
         """Verify, budget-check, distribute, merge, reactivate, solve —
-        the attemptLoopClosure + addLoopClosureFrame sequence."""
+        the attemptLoopClosure + addLoopClosureFrame sequence. With
+        async_solve the full-graph solve is only DISPATCHED here and
+        applied at the next frame (`apply_pending_full_graph`) — the
+        loop-closure frame never blocks on it, like the reference's
+        background optimiseFullGraph thread."""
         v = self._verify(estimator, old_id, sid, frames)
         if v is None:
             return False
@@ -530,7 +650,10 @@ class LoopClosureBackend:
         # the oldest loop states rejoin the realtime window unfrozen
         # (numLoopClosureFrames, config/euroc.yaml:77)
         estimator.reactivate_loop_states(chain)
-        self.optimise_full_graph(estimator)
+        if async_solve:
+            self.dispatch_full_graph(estimator)
+        else:
+            self.optimise_full_graph(estimator)
         return True
 
     # ------------------------------------------------------------------
@@ -686,27 +809,105 @@ class LoopClosureBackend:
         return prob, ids, slot_of, lm_ids
 
     def optimise_full_graph(self, estimator: Estimator):
-        """Solve the full graph and write back all included states and
-        landmarks (synchroniseRealtimeAndFullGraph's write-back, without
-        the dual-graph backlog machinery — see module docstring)."""
+        """Synchronous full-graph solve: dispatch + apply immediately
+        (tests / offline use; the live loop prefers dispatch + lagged
+        apply, matching the reference's background thread —
+        ViSlamBackend.cpp:1726-1757)."""
+        self.dispatch_full_graph(estimator)
+        return self.apply_pending_full_graph(estimator)
+
+    def dispatch_full_graph(self, estimator: Estimator) -> None:
+        """Dispatch the full-graph solve WITHOUT blocking: the solved
+        states/landmarks concatenate into one flat device array whose
+        host copy starts immediately; `apply_pending_full_graph` (next
+        frame) integrates it. This keeps the loop-closure frame from
+        stalling on the solve + readback the way the reference keeps it
+        off the camera thread (optimiseFullGraph background thread)."""
         prob, ids, slot_of, lm_ids = self.pack_full_problem(estimator)
         solved, stats = solve_window(
             prob, self.cameras, estimator.imu_params,
             SolverConfig(max_iterations=self.cfg.full_graph_iterations),
         )
-        pose, sb, lms_solved = jax.device_get(
-            (solved.pose, solved.speed_bias, solved.landmarks)
+        out = _concat_fg_solved(
+            solved.pose, solved.speed_bias, solved.landmarks,
+            stats["initial_cost"], stats["final_cost"],
         )
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        self._pending_fg = {
+            "out": out, "ids": ids, "slot_of": slot_of,
+            "lm_ids": lm_ids, "S": int(prob.pose.shape[0]),
+            "L": int(prob.landmarks.shape[0]), "newest": ids[-1],
+        }
+        # pre-warm the NEXT pow2 problem shape in the background once
+        # this one is nearly full, so the growth step never pays a
+        # foreground (remote) compile stall
+        if len(ids) > 0.75 * prob.pose.shape[0]:
+            self.prewarm_shapes_async(
+                estimator,
+                2 * prob.pose.shape[0],
+                prob.landmarks.shape[0],
+                prob.obs_mask.shape[0],
+                prob.rel_mask.shape[0],
+            )
+
+    def apply_pending_full_graph(self, estimator: Estimator):
+        """Integrate a dispatched full-graph solve. States that joined
+        the estimator AFTER the dispatch are rigidly re-anchored by the
+        newest solved state's correction (the role of
+        synchroniseRealtimeAndFullGraph's T_Wnew_Wold re-anchoring,
+        ViSlamBackend.cpp:1411-1650). Returns stats or None."""
+        p = getattr(self, "_pending_fg", None)
+        if p is None:
+            return None
+        self._pending_fg = None
+        out = np.asarray(p["out"])
+        S, L = p["S"], p["L"]
+        o = 0
+        pose = out[o:o + S * 7].reshape(S, 7); o += S * 7
+        sb = out[o:o + S * 9].reshape(S, 9); o += S * 9
+        lms_solved = out[o:o + L * 4].reshape(L, 4); o += L * 4
+        stats = {"initial_cost": out[o], "final_cost": out[o + 1]}
+        ids = [s for s in p["ids"] if s in estimator.states]
+        if not ids:
+            return stats
+        slot_of = p["slot_of"]
+        newest = p["newest"]
         old_poses = {s: estimator.states[s].pose.copy() for s in ids}
+        T_cur_newest = (
+            estimator.states[newest].pose.copy()
+            if newest in estimator.states else None
+        )
         for s, i in slot_of.items():
-            estimator.states[s].pose = pose[i]
-            estimator.states[s].speed_bias = sb[i]
+            rec = estimator.states.get(s)
+            if rec is not None:
+                rec.pose = np.asarray(pose[i], np.float64)
+                rec.speed_bias = np.asarray(sb[i], np.float64)
+        # rigid re-anchor of states added since the dispatch
+        if T_cur_newest is not None:
+            T_corr = se3_np.compose7(
+                estimator.states[newest].pose,
+                se3_np.inverse7(T_cur_newest),
+            )
+            if (np.linalg.norm(T_corr[:3]) > 1e-12
+                    or abs(T_corr[6] - 1.0) > 1e-12):
+                R = se3_np.quat_to_mat(T_corr[3:7])
+                for s in estimator.state_order:
+                    if s > newest and s in estimator.states:
+                        rec = estimator.states[s]
+                        rec.pose = se3_np.compose7(T_corr, rec.pose)
+                        rec.speed_bias = rec.speed_bias.copy()
+                        rec.speed_bias[:3] = R @ rec.speed_bias[:3]
         # solved landmarks come straight back; landmarks NOT in the solve
         # follow their anchor keyframe rigidly
-        solved_set = set(lm_ids)
-        for i, lid in enumerate(lm_ids):
+        solved_set = set(p["lm_ids"])
+        for i, lid in enumerate(p["lm_ids"]):
             if lid in estimator.landmarks:
-                estimator.landmarks[lid].hp_W = lms_solved[i]
+                estimator.landmarks[lid].hp_W = np.asarray(
+                    lms_solved[i], np.float64
+                )
         idset = set(ids)
         rest_anchor = []
         for lid, lm in estimator.landmarks.items():
@@ -725,13 +926,58 @@ class LoopClosureBackend:
             d = deltas[a]
             lm = estimator.landmarks[lid]
             hp = lm.hp_W
-            p = se3_np.quat_to_mat(d[3:7]) @ hp[:3] + d[:3] * hp[3]
-            lm.hp_W = np.concatenate([p, hp[3:4]])
+            p3 = se3_np.quat_to_mat(d[3:7]) @ hp[:3] + d[:3] * hp[3]
+            lm.hp_W = np.concatenate([p3, hp[3:4]])
         estimator._pre_cache.clear()
         return stats
+
+    def prewarm_shapes_async(self, estimator: Estimator,
+                             S: int, L: int, O: int, R: int):
+        """Compile (and once-run) the full-graph solve at a given shape
+        in a BACKGROUND thread — XLA compilation releases the GIL, so
+        the frame loop keeps running while the growth-step program
+        builds (over the remote-helper compiler a foreground compile is
+        a multi-second stall)."""
+        import threading
+
+        key = (S, L, O, R)
+        warmed = getattr(self, "_warmed_shapes", None)
+        if warmed is None:
+            warmed = set()
+            self._warmed_shapes = warmed
+        if key in warmed:
+            return
+        warmed.add(key)
+        cams = self.cameras
+        imu_params = estimator.imu_params
+        imu_cap = estimator.cfg.imu_seg_capacity
+        cfg = SolverConfig(max_iterations=self.cfg.full_graph_iterations)
+
+        def work():
+            try:
+                prob = WindowProblem.empty(
+                    S, L, O, len(cams), imu_cap, num_rel=R
+                )
+                solved, _stats = solve_window(prob, cams, imu_params, cfg)
+                jax.block_until_ready(solved.pose)
+            except Exception:
+                pass  # prewarm is best-effort
+
+        threading.Thread(target=work, daemon=True).start()
 
 
 def _set_row(full: np.ndarray, i: int, one) -> np.ndarray:
     full = np.array(full)
     full[i] = np.asarray(one)
     return full
+
+
+@jax.jit
+def _concat_fg_solved(pose, sb, lms, initial_cost, final_cost):
+    """One flat array for the full-graph solve's results so the lagged
+    readback is a single transfer (the tunnel serialises RPCs)."""
+    d = pose.dtype
+    return jnp.concatenate([
+        pose.ravel(), sb.ravel(), lms.ravel(),
+        jnp.stack([initial_cost.astype(d), final_cost.astype(d)]),
+    ])

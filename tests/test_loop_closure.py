@@ -283,7 +283,7 @@ def test_loop_inserts_observations_of_old_landmarks(rig):
         "mask": np.ones(N, bool),
     }]
     lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
-    pairs = [(lid_old, 7), (lid_old2, 3)]
+    pairs = [(lid_old, 0, 7), (lid_old2, 0, 3)]
     n_merged = lc._merge_loop_landmarks(est, sid, pairs, frames, fe)
     # kp 7 hosted nothing -> new observation of lid_old
     assert (sid, 0, 7) in est.landmarks[lid_old].obs
