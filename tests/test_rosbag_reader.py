@@ -169,3 +169,126 @@ def test_rosbag_stream(tmp_path):
             pair[1], imgs[k][1].astype(np.float32) / 255.0
         )
     reader.close()
+
+
+def _mcap_record(op, body):
+    return bytes([op]) + struct.pack("<Q", len(body)) + body
+
+
+def _mcap_str(s):
+    b = s.encode()
+    return struct.pack("<I", len(b)) + b
+
+
+def _mcap_channel(cid, topic):
+    return _mcap_record(
+        0x04,
+        struct.pack("<HH", cid, 1) + _mcap_str(topic)
+        + _mcap_str("cdr") + struct.pack("<I", 0),
+    )
+
+
+def _mcap_message(cid, log_time_ns, data):
+    return _mcap_record(
+        0x05,
+        struct.pack("<HIQQ", cid, 0, log_time_ns, log_time_ns) + data,
+    )
+
+
+def _make_mcap(path, in_chunk=False):
+    """Write a genuine mcap v1 bag (magic + records [+ Chunk nesting])."""
+    from okvis2_tpu.ros2.rosbag_reader import MCAP_MAGIC
+
+    rng = np.random.default_rng(0)
+    channels = (
+        _mcap_channel(1, "/okvis/imu")
+        + _mcap_channel(2, "/okvis/cam0/image_raw")
+        + _mcap_channel(3, "/okvis/cam1/image_raw")
+    )
+    msgs = b""
+    imgs = {}
+    rows = []
+    for k in range(20):
+        t = 0.005 * k
+        rows.append((int(t * 1e9), 1,
+                     encode_imu(t, [0.1, 0.2, 9.8], [0.01, 0.02, 0.03])))
+    for k in range(3):
+        t = 0.03 * k + 0.001
+        img0 = rng.integers(0, 255, (24, 32), dtype=np.uint8)
+        img1 = rng.integers(0, 255, (24, 32), dtype=np.uint8)
+        imgs[k] = (img0, img1)
+        rows.append((int(t * 1e9), 2, encode_image(t, img0)))
+        rows.append((int((t + 0.001) * 1e9), 3,
+                     encode_image(t + 0.001, img1)))
+    rows.sort(key=lambda r: r[0])
+    for ts, cid, data in rows:
+        msgs += _mcap_message(cid, ts, data)
+    records = channels + msgs
+    if in_chunk:
+        # wrap everything in one uncompressed Chunk record
+        chunk_body = (
+            struct.pack("<QQQI", rows[0][0], rows[-1][0], len(records), 0)
+            + _mcap_str("")
+            + struct.pack("<Q", len(records))
+            + records
+        )
+        records = _mcap_record(0x06, chunk_body)
+    with open(path, "wb") as f:
+        f.write(MCAP_MAGIC)
+        f.write(_mcap_record(0x01, _mcap_str("ros2") + _mcap_str("")))
+        f.write(records)
+        f.write(_mcap_record(0x0F, struct.pack("<I", 0)))  # DataEnd
+        f.write(_mcap_record(0x02, struct.pack("<QQI", 0, 0, 0)))
+        f.write(MCAP_MAGIC)
+    return imgs
+
+
+def _check_stream(reader, imgs):
+    n_imu = 0
+    frames = []
+    for ev in reader.stream():
+        if ev[0] == "imu":
+            n_imu += 1
+            np.testing.assert_allclose(ev[2], [0.1, 0.2, 9.8])
+        else:
+            frames.append(ev)
+    assert n_imu == 20
+    assert len(frames) == 3
+    for k, (_, t, pair) in enumerate(frames):
+        np.testing.assert_allclose(
+            pair[0], imgs[k][0].astype(np.float32) / 255.0
+        )
+        np.testing.assert_allclose(
+            pair[1], imgs[k][1].astype(np.float32) / 255.0
+        )
+    reader.close()
+
+
+def test_mcap_stream(tmp_path):
+    """mcap storage round trip (the reference's rosbag2 API reads both
+    sqlite3 and mcap, RosbagReader.cpp:341)."""
+    bag = str(tmp_path / "session.mcap")
+    imgs = _make_mcap(bag, in_chunk=False)
+    _check_stream(
+        RosbagReader(
+            bag,
+            ["/okvis/cam0/image_raw", "/okvis/cam1/image_raw"],
+            "/okvis/imu",
+        ),
+        imgs,
+    )
+
+
+def test_mcap_chunked_stream(tmp_path):
+    """mcap with Channel/Message records nested inside a Chunk record
+    (how real recorders write them)."""
+    bag = str(tmp_path / "chunked.mcap")
+    imgs = _make_mcap(bag, in_chunk=True)
+    _check_stream(
+        RosbagReader(
+            bag,
+            ["/okvis/cam0/image_raw", "/okvis/cam1/image_raw"],
+            "/okvis/imu",
+        ),
+        imgs,
+    )
