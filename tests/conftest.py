@@ -31,3 +31,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The suite compiles hundreds of XLA CPU programs (x64, 8 virtual
+    devices); each live executable holds multiple VM mappings, and a
+    single pytest process crosses the kernel's vm.max_map_count
+    (65530) after ~30 minutes — at which point mmap failures surface
+    as SEGFAULTS inside XLA compilation and spurious native-loader
+    test failures. Dropping the jit caches between modules keeps the
+    map count bounded; cross-module cache reuse is minimal (different
+    problem shapes), so the recompile cost is small."""
+    yield
+    jax.clear_caches()
