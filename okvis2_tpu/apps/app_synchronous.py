@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--rpg-format", action="store_true")
     p.add_argument("--final-ba", action="store_true")
     p.add_argument("--save-map", default="")
+    p.add_argument(
+        "--sync", action="store_true",
+        help="synchronous frame loop (one blocking readback per frame) "
+             "instead of the default Phase-B pipelined loop",
+    )
     args = p.parse_args(argv)
 
     from okvis2_tpu.config import read_config_file
@@ -68,6 +73,7 @@ def main(argv=None):
     slam = SlamSystem(
         cams, exts, params.imu.params, est_cfg, fe_cfg,
         do_loop_closures=params.estimator.do_loop_closures,
+        pipelined=not args.sync,
     )
     traj = Trajectory()
     slam.set_optimised_graph_callback(
@@ -92,6 +98,8 @@ def main(argv=None):
                       flush=True)
             if args.max_frames and n >= args.max_frames:
                 break
+
+    slam.finish()  # drain the pipelined loop's in-flight frame
 
     if args.final_ba:
         # offline final bundle adjustment (doFinalBa,

@@ -48,6 +48,18 @@ class RealsenseSensor(ViSensorBase):
     pair (structured light would corrupt feature matching), global time
     enabled, gyro/accel streams merged by interpolation to gyro
     timestamps (Realsense.cpp's processFrame/IMU handling).
+
+    Known fidelity gaps vs the reference driver (Realsense.cpp:418),
+    untestable without hardware in this environment:
+    - timestamps use the SDK's global-time clock directly; the
+      reference additionally validates RS2_FRAME_METADATA_SENSOR_TIMESTAMP
+      against the frame counter and drops frames whose metadata clock
+      jumps (hardware-glitch guard);
+    - the reference alternates the emitter per frame for RGBD rigs
+      (emitter ON for depth quality, OFF frames fed to SLAM) via
+      RS2_OPTION_EMITTER_ON_OFF; here the emitter is simply OFF (stereo)
+      or ON (rgbd) for the whole stream;
+    - frame-counter-gap detection/warning is not implemented.
     """
 
     def __init__(self, width=848, height=480, fps=30, imu_rate=200,
