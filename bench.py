@@ -69,6 +69,11 @@ def bench_e2e(n_frames=60, warmup=12):
     est_cfg = EstimatorConfig(
         window_slots=12, landmark_slots=512, obs_slots=4096,
         imu_seg_capacity=64,
+        # the reference enforces a 0.035 s realtime budget on EuRoC and
+        # drops to min iterations under load (CeresIterationCallback,
+        # config/euroc.yaml:80-83); mirror that policy here
+        enforce_realtime=True,
+        realtime_time_limit=0.035,
     )
     fe_cfg = FrontendConfig(
         detection=DetectionConfig(max_keypoints=512),
@@ -98,6 +103,48 @@ def bench_e2e(n_frames=60, warmup=12):
         "e2e_ms_p50": float(np.median(steady) * 1e3),
         "e2e_frames": len(frame_times),
     }
+
+
+def bench_link_ceiling(n=50):
+    """The fastest ANY frame loop can go over this host<->device link:
+    one stereo-frame upload + a trivial dispatch + a lagged
+    background-thread fetch, back-to-back. On the axon dev tunnel every
+    RPC serialises, so this — not compute — is the e2e ceiling; on
+    local-PCIe hardware the same loop runs two orders of magnitude
+    faster."""
+    import threading
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    imgs = np.zeros((2, 480, 752), np.uint8)
+
+    @jax.jit
+    def step(a):
+        x = a.astype(jnp.float32).sum()
+        return jnp.stack([x, x + 1.0])
+
+    np.asarray(step(jnp.asarray(imgs)))  # warm
+    pending = None
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        if pending is not None:
+            pending[0].join()
+        out = step(jnp.asarray(imgs))
+        fut = {}
+        th = threading.Thread(
+            target=lambda o=out, f=fut: f.update(arr=np.asarray(o)),
+            daemon=True,
+        )
+        th.start()
+        pending = (th, fut)
+        times.append(time.perf_counter() - t0)
+    pending[0].join()
+    ft = np.asarray(times[10:])
+    return float(1.0 / ft.mean())
 
 
 def bench_hotpath():
@@ -177,6 +224,7 @@ def main():
         _log(f"run {i}: {e2e['e2e_fps']:.2f} fps "
              f"(p50 {e2e['e2e_ms_p50']:.1f} ms)")
     best = max(runs, key=lambda r: r["e2e_fps"])
+    ceiling = bench_link_ceiling()
     hot = bench_hotpath()
     print(
         json.dumps(
@@ -189,6 +237,10 @@ def main():
                 "vs_baseline": round(best["e2e_fps"] / 200.0, 3),
                 "e2e_ms_p50": round(best["e2e_ms_p50"], 1),
                 "e2e_fps_runs": [round(r["e2e_fps"], 2) for r in runs],
+                "link_ceiling_fps": round(ceiling, 2),
+                "e2e_vs_link_ceiling": round(
+                    best["e2e_fps"] / ceiling, 3
+                ),
                 "hotpath_kernel_fps": round(hot, 2),
             }
         )

@@ -122,32 +122,56 @@ class _ObsDict(dict):
     expandKeyframe, component load all assign lm.obs[key] = ... without
     going through Estimator.add_observation). The revision keys the
     per-landmark packed-row cache in pack_np, so a stale cache can
-    never survive a mutation."""
+    never survive a mutation. The optional `hook(lid, key, added)`
+    keeps the estimator's state->observations index incrementally
+    up to date — obs_of_state is queried several times per frame and a
+    full landmark scan there costs ~5-10 ms at realistic map sizes."""
 
-    __slots__ = ("owner",)
+    __slots__ = ("owner", "hook")
 
     def __init__(self, owner):
         super().__init__()
         self.owner = owner
+        self.hook = None
 
     def __setitem__(self, k, v):
         self.owner.obs_rev += 1
         super().__setitem__(k, v)
+        if self.hook is not None:
+            self.hook(self.owner.id, k, True)
 
     def __delitem__(self, k):
         self.owner.obs_rev += 1
         super().__delitem__(k)
+        if self.hook is not None:
+            self.hook(self.owner.id, k, False)
 
-    def pop(self, *a):
+    def pop(self, k, *a):
         self.owner.obs_rev += 1
-        return super().pop(*a)
+        had = k in self
+        r = super().pop(k, *a)
+        if had and self.hook is not None:
+            self.hook(self.owner.id, k, False)
+        return r
 
     def update(self, *a, **kw):
         self.owner.obs_rev += 1
-        super().update(*a, **kw)
+        for src in a:
+            items = src.items() if hasattr(src, "items") else src
+            for k, v in items:
+                super().__setitem__(k, v)
+                if self.hook is not None:
+                    self.hook(self.owner.id, k, True)
+        for k, v in kw.items():
+            super().__setitem__(k, v)
+            if self.hook is not None:
+                self.hook(self.owner.id, k, True)
 
     def clear(self):
         self.owner.obs_rev += 1
+        if self.hook is not None:
+            for k in self:
+                self.hook(self.owner.id, k, False)
         super().clear()
 
 
@@ -233,6 +257,9 @@ class Estimator:
         self.state_order: List[int] = []  # insertion/time order, all history
         self.window: List[int] = []  # ids currently in the window
         self.landmarks: Dict[int, LandmarkRecord] = {}
+        # incrementally-maintained state -> {(lid, cam, kp)} index
+        # (kept exact by the _ObsDict mutation hook)
+        self._by_state: Dict[int, set] = {}
         self.pose_graph_edges: List[PoseGraphEdge] = []
         self._next_state_id = 0
         self._next_lm_id = 0
@@ -320,8 +347,29 @@ class Estimator:
         self._next_lm_id += 1
         rec = LandmarkRecord(lid, hp_W)
         rec.initialised = bool(initialised)
+        rec.obs.hook = self._obs_hook
         self.landmarks[lid] = rec
         return lid
+
+    def _obs_hook(self, lid: int, key, added: bool):
+        """_ObsDict mutation hook: keep the state->observations index
+        exact through every mutation path (direct dict writes included)."""
+        sid, ci, kp = key
+        s = self._by_state.get(sid)
+        if added:
+            if s is None:
+                s = self._by_state[sid] = set()
+            s.add((lid, ci, kp))
+        elif s is not None:
+            s.discard((lid, ci, kp))
+
+    def _forget_landmark_obs(self, lm: "LandmarkRecord"):
+        """Discard a to-be-deleted landmark's index entries (whole-record
+        deletions bypass the dict hook)."""
+        for (sid, ci, kp) in lm.obs:
+            s = self._by_state.get(sid)
+            if s is not None:
+                s.discard((lm.id, ci, kp))
 
     def add_observation(self, lm_id, state_id, cam_idx, kp_idx, uv, size=9.0):
         self.landmarks[lm_id].obs[(state_id, cam_idx, kp_idx)] = (
@@ -334,26 +382,17 @@ class Estimator:
         self._obs_rev = getattr(self, "_obs_rev", 0) + 1
 
     def obs_of_state(self, sid: int):
-        """All (lm_id, cam_idx, kp_idx) observed from state sid, cached
-        per observation-revision: the frame loop queries this several
-        times per frame (keyframe heuristic, tracking quality, CNN
-        suppression, expandKeyframe) and a full landmark-dict scan each
-        time costs ~10 ms at realistic map sizes."""
-        rev = getattr(self, "_obs_rev", 0)
-        cached = getattr(self, "_obs_state_cache", None)
-        if cached is None or cached[0] != rev:
-            by_state: Dict[int, list] = {}
-            for lid, lm in self.landmarks.items():
-                for (s, ci, kp) in lm.obs:
-                    by_state.setdefault(s, []).append((lid, ci, kp))
-            self._obs_state_cache = (rev, by_state)
-            cached = self._obs_state_cache
-        return cached[1].get(sid, ())
+        """All (lm_id, cam_idx, kp_idx) observed from state sid — served
+        from the incrementally-maintained index (the frame loop queries
+        this several times per frame: keyframe heuristic, tracking
+        quality, CNN suppression, expandKeyframe)."""
+        return self._by_state.get(sid, ())
 
     def merge_landmarks(self, keep_id: int, drop_id: int):
         drop = self.landmarks.pop(drop_id, None)
         if drop is None:
             return
+        self._forget_landmark_obs(drop)
         self.landmarks[keep_id].obs.update(drop.obs)
         self._obs_rev = getattr(self, "_obs_rev", 0) + 1
 
@@ -379,6 +418,7 @@ class Estimator:
             if n_win == 0 or (len(lm.obs) < min_obs and not lm.initialised):
                 dead.append(lid)
         for lid in dead:
+            self._forget_landmark_obs(self.landmarks[lid])
             del self.landmarks[lid]
         if dead:
             self._obs_rev = getattr(self, "_obs_rev", 0) + 1
@@ -790,15 +830,23 @@ class Estimator:
             pass
         self._pending_solve = (out, dict(self._slot_of), list(self._lm_ids))
 
-    def _get_packed_layout(self):
+    def _get_packed_layout(self, aux_cap: int = 0):
+        """The flat-buffer layout (cached). aux_cap reserves trailing
+        aux regions for the Phase-B side-channel (w_scale floats;
+        lm_slot_map + cur_slot + n_obs_base ints) so they ride the same
+        two uploads as the problem."""
         from okvis2_tpu.solver.packed_solve import PackedLayout
 
         layout = getattr(self, "_packed_layout", None)
-        if layout is None:
+        want = (aux_cap, aux_cap + 2 if aux_cap else 0)
+        if layout is None or (
+            aux_cap and layout.key[-2:] != want
+        ):
             c = self.cfg
             layout = PackedLayout(
                 c.window_slots, c.landmark_slots, c.obs_slots,
                 len(self.cameras), c.rel_slots, c.imu_seg_capacity,
+                aux_f=want[0], aux_i=want[1],
             )
             self._packed_layout = layout
             self._packed_bufs = layout.make_buffers()
@@ -829,33 +877,39 @@ class Estimator:
         if iterations is not None and iterations != cfg.max_iterations:
             cfg = dataclasses.replace(cfg, max_iterations=iterations)
 
-        layout = self._get_packed_layout()
-        buf_f, buf_i = self._packed_bufs
-        prob_np = self.pack_np()
-        layout.fill(buf_f, buf_i, prob_np)
+        from okvis2_tpu.utils.timing import SwitchableTimer
 
-        # landmark-table slot -> this pack's solver landmark slot
         cap = table.capacity
-        lm_slot_map = np.full(cap, -1, np.int32)
-        w_scale = np.ones(cap, np.float32)
-        lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
-        for lid, s in table.slot_of.items():
-            i = lm_index.get(lid)
-            if i is not None:
-                lm_slot_map[s] = i
-                w_scale[s] = np.sqrt(self.landmarks[lid].info_scale)
-        cur_slot = self._slot_of[ctx["sid"]]
+        layout = self._get_packed_layout(aux_cap=cap)
+        buf_f, buf_i = self._packed_bufs
+        with SwitchableTimer("3.1 pack_np + fill"):
+            prob_np = self.pack_np()
+            layout.fill(buf_f, buf_i, prob_np)
+
+            # landmark-table slot -> this pack's solver landmark slot,
+            # written into the trailing aux regions of the two flat
+            # buffers (no extra upload RPCs)
+            lm_slot_map = buf_i[layout.aux_i_off:layout.aux_i_off + cap]
+            lm_slot_map[:] = -1
+            w_scale = buf_f[layout.aux_f_off:layout.aux_f_off + cap]
+            w_scale[:] = 1.0
+            lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
+            for lid, s in table.slot_of.items():
+                i = lm_index.get(lid)
+                if i is not None:
+                    lm_slot_map[s] = i
+                    w_scale[s] = np.sqrt(self.landmarks[lid].info_scale)
+            buf_i[layout.aux_i_off + cap] = self._slot_of[ctx["sid"]]
+            buf_i[layout.aux_i_off + cap + 1] = self._n_obs_packed
 
         self._solve_t0 = _time.perf_counter()
         m = ctx["match"]
-        out = solve_packed_fused(
-            buf_f, buf_i, m["idx"], m["keep"], m["xy"], m["size"],
-            jnp.asarray(lm_slot_map), jnp.asarray(w_scale),
-            jnp.asarray(cur_slot, jnp.int32),
-            jnp.asarray(self._n_obs_packed, jnp.int32),
-            ctx["diag"],
-            self.cameras, self.imu_params, layout, cfg,
-        )
+        with SwitchableTimer("3.2 solve dispatch"):
+            out = solve_packed_fused(
+                buf_f, buf_i, m["idx"], m["keep"], m["xy"], m["size"],
+                ctx["diag"],
+                self.cameras, self.imu_params, layout, cfg,
+            )
         try:
             out.copy_to_host_async()
         except (AttributeError, NotImplementedError):

@@ -164,25 +164,13 @@ def _associate_device(
 )
 def _frame_associate_device(
     cameras,
-    key,
-    images: jnp.ndarray,  # [NC,H,W] float
-    T_WS7: jnp.ndarray,
-    T_SC7: jnp.ndarray,
-    hp: jnp.ndarray,
-    lm_mask: jnp.ndarray,
-    lm_init: jnp.ndarray,
+    images: jnp.ndarray,  # [NC,H,W] uint8
+    aux_f: jnp.ndarray,  # [Nf] f32 flat: T_WS7 | T_SC | hp | T_WS_kf7 | 5 scalars
+    aux_i: jnp.ndarray,  # [Ni] i32 flat: lm_mask | lm_init | kf_free | kf_valid
     tab_signs: jnp.ndarray,
     tab_valid: jnp.ndarray,
-    kf_xy: jnp.ndarray,  # [KF,NC,N,2] top-K keyframe stacks
-    kf_signs: jnp.ndarray,  # [KF,NC,N,B]
-    kf_free: jnp.ndarray,  # [KF,NC,N] keypoints not hosting landmarks
-    kf_valid: jnp.ndarray,  # [KF] keyframe-slot validity
-    T_WS_kf7: jnp.ndarray,  # [KF,7]
-    radius: jnp.ndarray,
-    threshold_deg: jnp.ndarray,
-    epi_px: jnp.ndarray,
-    min_depth: jnp.ndarray,
-    max_depth: jnp.ndarray,
+    kf_xy: jnp.ndarray,  # [KF,NC,N,2] top-K keyframe stacks (device)
+    kf_signs: jnp.ndarray,  # [KF,NC,N,B] (device)
     extra_flat: jnp.ndarray,  # [K] piggybacked through the readback
     det_cfg,
     max_distance: int,
@@ -198,10 +186,39 @@ def _frame_associate_device(
     float array (one readback — each roundtrip over the TPU tunnel
     costs ~60 ms, so the frame loop gets exactly one).
 
-    Returns (diag [D], stacked) where stacked holds the device-resident
-    detection arrays for later programs (table update, static stereo,
-    keyframe storage)."""
+    All small per-frame host inputs arrive as TWO flat buffers (aux_f /
+    aux_i) sliced here: every individual host->device upload is its own
+    serialised RPC over the tunnel (~5-27 ms each), so the frame pays
+    for three uploads (images + aux_f + aux_i), not ~15.
+
+    Returns (diag [D], stacked, match) where stacked holds the
+    device-resident detection arrays for later programs (table update,
+    static stereo, keyframe storage) and match feeds the Phase-B
+    device-side observation append."""
     NC = len(cameras)
+    cap = tab_signs.shape[0]
+    KF, _, N = kf_xy.shape[0], kf_xy.shape[1], kf_xy.shape[2]
+    # ---- decode the flat aux uploads (free slicing in XLA) ----
+    o = 0
+    T_WS7 = aux_f[o:o + 7]; o += 7
+    T_SC7 = aux_f[o:o + NC * 7].reshape(NC, 7); o += NC * 7
+    hp = aux_f[o:o + cap * 4].reshape(cap, 4); o += cap * 4
+    T_WS_kf7 = aux_f[o:o + KF * 7].reshape(KF, 7); o += KF * 7
+    radius = aux_f[o]
+    threshold_deg = aux_f[o + 1]
+    epi_px = aux_f[o + 2]
+    min_depth = aux_f[o + 3]
+    max_depth = aux_f[o + 4]
+    oi = 0
+    lm_mask = aux_i[oi:oi + cap] > 0; oi += cap
+    lm_init = aux_i[oi:oi + cap] > 0; oi += cap
+    kf_free = (aux_i[oi:oi + KF * NC * N] > 0).reshape(KF, NC, N)
+    oi += KF * NC * N
+    kf_valid = aux_i[oi:oi + KF] > 0; oi += KF
+    # RANSAC randomness derived ON DEVICE from the frame counter — a
+    # host-side key split would be one more dispatch on the serialised
+    # tunnel every frame
+    key = jax.random.fold_in(jax.random.PRNGKey(42), aux_i[oi])
     if images.dtype == jnp.uint8:
         # images travel the tunnel as uint8 (4x less upload) and widen
         # on device
@@ -333,11 +350,26 @@ def _frame_associate_device(
             jnp.sum((cosang > thr).astype(dtype) * pm) / n_pairs
         ).astype(jnp.float32)
 
+    # compact the motion-stereo outputs: only the good rows matter to
+    # the host (typically tens per frame), and the dense [KF,NC,N]
+    # blocks dominate the readback's bytes (~74 KB of ~106 KB)
+    M = 256  # per-frame motion-stereo row budget
+    flat_good = ms_good.reshape(-1)
+    order = jnp.argsort(~flat_good)  # good rows first (stable)
+    sel = order[:M]
+    ms_rows = jnp.concatenate([
+        (sel // N)[:, None].astype(jnp.float32),  # k*NC + ci
+        (sel % N)[:, None].astype(jnp.float32),  # keyframe kp a
+        ms_idx.reshape(-1)[sel][:, None].astype(jnp.float32),  # cur kp b
+        ms_hp.reshape(-1, 4)[sel].astype(jnp.float32),
+        flat_good[sel][:, None].astype(jnp.float32),
+    ], axis=1)  # [M,8]
+
     f32 = lambda a: a.astype(jnp.float32).ravel()
     diag = jnp.concatenate([
         f32(xy), f32(det["size"]), f32(kp_mask),
         f32(idx), f32(keep),
-        f32(ms_idx), f32(ms_hp), f32(ms_good),
+        f32(ms_rows),
         jnp.stack([n_inl.astype(jnp.float32),
                    ransac_ok.astype(jnp.float32),
                    rot_frac]),
@@ -444,11 +476,13 @@ def _table_update(
     tab_signs: jnp.ndarray,  # [Lc,K,B]
     tab_valid: jnp.ndarray,  # [Lc,K]
     kp_signs: jnp.ndarray,  # [NC,N,B] this frame's descriptors
-    tgt: jnp.ndarray,  # [U] flat slot*K+ring (out of range = drop)
-    cam: jnp.ndarray,  # [U]
-    kp: jnp.ndarray,  # [U]
-    clear: jnp.ndarray,  # [C] slot indices to clear (out of range = drop)
+    upd: jnp.ndarray,  # [4U] i32 flat: tgt | cam | kp | clear (ONE upload)
 ):
+    U = upd.shape[0] // 4
+    tgt = upd[0:U]
+    cam = upd[U:2 * U]
+    kp = upd[2 * U:3 * U]
+    clear = upd[3 * U:4 * U]
     """Scatter this frame's new landmark descriptors into the resident
     table and clear freed slots — the per-frame delta upload is a few
     hundred int32s instead of the whole multi-MB table. Clears apply
@@ -610,18 +644,20 @@ class DeviceLandmarkTable:
             clr = self._clear[:upd_capacity]
             self._clear = self._clear[upd_capacity:]
             U = upd_capacity
-            tgt = np.full(U, self.capacity * K, np.int32)  # drop
-            cam = np.zeros(U, np.int32)
-            kp = np.zeros(U, np.int32)
+            upd = np.empty(4 * U, np.int32)
+            tgt = upd[0:U]
+            tgt[:] = self.capacity * K  # drop
+            cam = upd[U:2 * U]
+            kp = upd[2 * U:3 * U]
             for i, (s, ring, c, k) in enumerate(batch):
                 tgt[i] = s * K + ring
                 cam[i] = c
                 kp[i] = k
-            clear = np.full(U, self.capacity, np.int32)
+            clear = upd[3 * U:4 * U]
+            clear[:] = self.capacity
             clear[: len(clr)] = clr
             self.signs, self.valid = _table_update(
-                self.signs, self.valid, kp_signs_device, tgt, cam, kp,
-                clear,
+                self.signs, self.valid, kp_signs_device, upd,
             )
 
 
@@ -742,11 +778,15 @@ class Frontend:
         return self.finish_frame(estimator, ctx, diag_np)
 
     def dispatch_frame(self, estimator: Estimator, images, sid: int,
-                       T_WS_pred7: np.ndarray, extra_flat=None):
+                       T_WS_pred7: np.ndarray, extra_flat=None,
+                       images_dev=None):
         """Prep + the fused frontend dispatch, NO readback. Returns a
         ctx dict holding the device handles (diag, stacked detection
         arrays, match tensors for the Phase-B device-side observation
-        append) and the host-side decode context."""
+        append) and the host-side decode context. `images_dev`
+        optionally supplies the already-uploaded uint8 image stack
+        (pre-upload at add_images time overlaps the frame's biggest
+        transfer with the previous frame's bookkeeping)."""
         from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
 
         cfg = self.cfg
@@ -758,96 +798,129 @@ class Frontend:
         table = self.table
         NC = len(self.cameras)
         N = cfg.detection.max_keypoints
-        imgs = np.stack(images)
-        if imgs.dtype != np.uint8:
-            # quantise on host: the upload is 4x smaller and the device
-            # widens back to float32 (EuRoC images are uint8 natively)
-            imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if images_dev is None:
+            imgs = np.stack(images)
+            if imgs.dtype != np.uint8:
+                # quantise on host: the upload is 4x smaller and the
+                # device widens back to float32 (EuRoC is uint8 natively)
+                imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
+                    np.uint8
+                )
+            images_dev = jnp.asarray(imgs)
         fdtype = np.float32  # device compute dtype after widening
         table.ensure(DESCRIPTOR_BITS, fdtype)
 
+        # ---- flat aux buffers: 2 uploads instead of ~15 (each upload
+        # is its own serialised RPC over the tunnel) ----
         cap = table.capacity
-        hp = np.zeros((cap, 4), fdtype)
-        hp[:, 3] = 1.0
+        KF = cfg.motion_stereo_keyframes
+        B = DESCRIPTOR_BITS
+        nf = 7 + NC * 7 + cap * 4 + KF * 7 + 5
+        ni = 2 * cap + KF * NC * N + KF + 1
+        bufs = getattr(self, "_aux_bufs", None)
+        if bufs is None or bufs[0].shape[0] != nf or bufs[1].shape[0] != ni:
+            bufs = (np.zeros(nf, np.float32), np.zeros(ni, np.int32))
+            self._aux_bufs = bufs
+        aux_f, aux_i = bufs
+        o = 0
+        aux_f[o:o + 7] = T_WS_pred7; o += 7
+        aux_f[o:o + NC * 7] = np.concatenate(self.T_SC_np); o += NC * 7
+        hp_view = aux_f[o:o + cap * 4].reshape(cap, 4)
+        hp_view[:] = 0.0
+        hp_view[:, 3] = 1.0
+        o_kf = o + cap * 4
         lm_mask = np.zeros(cap, bool)
         lm_init = np.zeros(cap, bool)
         for lid, s in table.slot_of.items():
             lm = estimator.landmarks.get(lid)
             if lm is None:
                 continue
-            hp[s] = lm.hp_W
+            hp_view[s] = lm.hp_W
             lm_mask[s] = True
             lm_init[s] = lm.initialised
+        aux_i[:cap] = lm_mask
+        aux_i[cap:2 * cap] = lm_init
 
         # top-K overlap-ranked keyframe stacks for motion stereo
         # (Frontend.cpp:1742-1768 ranks all window keyframes by
         # overlapFraction; fixed K keeps the device shapes static)
-        KF = cfg.motion_stereo_keyframes
         top_ids = self._rank_keyframes_by_overlap(
-            estimator, T_WS_pred7, sid, hp, lm_mask, KF
+            estimator, T_WS_pred7, sid, hp_view, lm_mask, KF
         )
         do_ms = bool(top_ids)
-        B = DESCRIPTOR_BITS
+        kf7_view = aux_f[o_kf:o_kf + KF * 7].reshape(KF, 7)
+        kf7_view[:] = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        aux_f[o_kf + KF * 7:] = (
+            cfg.map_match_radius, cfg.ransac_threshold_deg,
+            cfg.stereo_epipolar_gate, cfg.min_depth, cfg.max_depth,
+        )
+        kf_free = np.zeros((KF, NC, N), bool)
+        kf_valid = np.zeros(KF, bool)
         if do_ms:
-            kf_xy_s = []
-            kf_signs_s = []
-            kf_free = np.zeros((KF, NC, N), bool)
-            kf_valid = np.zeros(KF, bool)
-            T_WS_kf7 = np.tile(
-                np.array([0, 0, 0, 0, 0, 0, 1.0]), (KF, 1)
-            )
-            zero_xy = jnp.zeros((NC, N, 2), fdtype)
-            zero_sg = jnp.zeros((NC, N, B), fdtype)
-            for k in range(KF):
-                if k < len(top_ids):
-                    kid = top_ids[k]
-                    kfr = self._kf_store[kid]
-                    kf_xy_s.append(kfr[0]["stacked"]["xy"])
-                    kf_signs_s.append(kfr[0]["stacked"]["signs"])
-                    free = np.stack([f["mask"] for f in kfr]).copy()
-                    for (_l, c, kp) in estimator.obs_of_state(kid):
-                        if kp < N:
-                            free[c, kp] = False
-                    kf_free[k] = free
-                    kf_valid[k] = True
-                    T_WS_kf7[k] = estimator.states[kid].pose
-                else:
-                    kf_xy_s.append(zero_xy)
-                    kf_signs_s.append(zero_sg)
-            kf_xy_dev = jnp.stack(kf_xy_s)
-            kf_signs_dev = jnp.stack(kf_signs_s)
+            for k, kid in enumerate(top_ids):
+                kfr = self._kf_store[kid]
+                free = np.stack([f["mask"] for f in kfr]).copy()
+                for (_l, c, kp) in estimator.obs_of_state(kid):
+                    if kp < N:
+                        free[c, kp] = False
+                kf_free[k] = free
+                kf_valid[k] = True
+                kf7_view[k] = estimator.states[kid].pose
+            # the stacked device arrays only change when the top-K SET
+            # changes (stable between keyframes): caching them saves two
+            # device ops per frame on the serialised tunnel
+            cache = getattr(self, "_kf_stack_cache", None)
+            key_ids = tuple(top_ids)
+            if cache is None or cache[0] != key_ids \
+                    or cache[1].shape != (KF, NC, N, 2):
+                zeros = getattr(self, "_kf_zero_pads", None)
+                if zeros is None or zeros[0].shape != (NC, N, 2):
+                    zeros = (jnp.zeros((NC, N, 2), fdtype),
+                             jnp.zeros((NC, N, B), fdtype))
+                    self._kf_zero_pads = zeros
+                kf_xy_s, kf_signs_s = [], []
+                for k in range(KF):
+                    if k < len(top_ids):
+                        kfr = self._kf_store[top_ids[k]]
+                        kf_xy_s.append(kfr[0]["stacked"]["xy"])
+                        kf_signs_s.append(kfr[0]["stacked"]["signs"])
+                    else:
+                        kf_xy_s.append(zeros[0])
+                        kf_signs_s.append(zeros[1])
+                cache = (key_ids, jnp.stack(kf_xy_s),
+                         jnp.stack(kf_signs_s))
+                self._kf_stack_cache = cache
+            kf_xy_dev, kf_signs_dev = cache[1], cache[2]
         else:
-            kf_xy_dev = jnp.zeros((KF, NC, N, 2), fdtype)
-            kf_signs_dev = jnp.zeros((KF, NC, N, B), fdtype)
-            kf_free = np.zeros((KF, NC, N), bool)
-            kf_valid = np.zeros(KF, bool)
-            T_WS_kf7 = np.tile(
-                np.array([0, 0, 0, 0, 0, 0, 1.0]), (KF, 1)
-            )
+            pads = getattr(self, "_kf_zero_stack", None)
+            if pads is None or pads[0].shape != (KF, NC, N, 2):
+                pads = (jnp.zeros((KF, NC, N, 2), fdtype),
+                        jnp.zeros((KF, NC, N, B), fdtype))
+                self._kf_zero_stack = pads
+            kf_xy_dev, kf_signs_dev = pads
+        aux_i[2 * cap:2 * cap + KF * NC * N] = kf_free.reshape(-1)
+        aux_i[2 * cap + KF * NC * N:2 * cap + KF * NC * N + KF] = kf_valid
+        self._frame_counter = getattr(self, "_frame_counter", 0) + 1
+        aux_i[-1] = self._frame_counter
+
+        if extra_flat is None:
+            extra_dev = getattr(self, "_zero_extra", None)
+            if extra_dev is None:
+                extra_dev = jnp.zeros(0, jnp.float32)
+                self._zero_extra = extra_dev
+        else:
+            extra_dev = jnp.asarray(extra_flat)
 
         diag, stacked, match = _frame_associate_device(
             self.cameras,
-            self._next_key(),
-            jnp.asarray(imgs),
-            jnp.asarray(T_WS_pred7, fdtype),
-            jnp.asarray(np.stack(self.T_SC_np), fdtype),
-            jnp.asarray(hp),
-            jnp.asarray(lm_mask),
-            jnp.asarray(lm_init),
+            images_dev,
+            jnp.asarray(aux_f),
+            jnp.asarray(aux_i),
             table.signs,
             table.valid,
             kf_xy_dev,
             kf_signs_dev,
-            jnp.asarray(kf_free),
-            jnp.asarray(kf_valid),
-            jnp.asarray(T_WS_kf7, fdtype),
-            jnp.asarray(cfg.map_match_radius, fdtype),
-            jnp.asarray(cfg.ransac_threshold_deg, fdtype),
-            jnp.asarray(cfg.stereo_epipolar_gate, fdtype),
-            jnp.asarray(cfg.min_depth, fdtype),
-            jnp.asarray(cfg.max_depth, fdtype),
-            jnp.zeros(0, jnp.float32) if extra_flat is None
-            else jnp.asarray(extra_flat),
+            extra_dev,
             cfg.detection,
             cfg.matching_threshold,
             cfg.ransac_hypotheses,
@@ -891,9 +964,7 @@ class Frontend:
         kp_mask = take(NC * N, (NC, N)) > 0.5
         idx = take(NC * cap, (NC, cap)).astype(np.int32)
         keep = take(NC * cap, (NC, cap)) > 0.5
-        ms_idx = take(KF * NC * N, (KF, NC, N)).astype(np.int32)
-        ms_hp = take(KF * NC * N * 4, (KF, NC, N, 4))
-        ms_good = take(KF * NC * N, (KF, NC, N)) > 0.5
+        ms_rows = take(256 * 8, (256, 8))
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
         rot_frac = float(diag[off + 2])
         extra_np = diag[off + 3:]
@@ -928,26 +999,24 @@ class Frontend:
         # keyframe<->current matches, apparent parallax is spurious
         n_ms = 0
         if do_ms and rot_frac < cfg.rotation_only_veto:
-            for k, kid in enumerate(top_ids):
-                kfr = self._kf_store[kid]
-                for ci in range(NC):
-                    fa = kfr[ci]
-                    fr = frames[ci]
-                    for a in np.nonzero(ms_good[k][ci])[0]:
-                        a = int(a)
-                        b = int(ms_idx[k][ci][a])
-                        lid = estimator.add_landmark(
-                            ms_hp[k][ci][a], initialised=True
-                        )
-                        estimator.add_observation(
-                            lid, kid, ci, a, fa["xy"][a], fa["size"][a]
-                        )
-                        estimator.add_observation(
-                            lid, sid, ci, b, fr["xy"][b], fr["size"][b]
-                        )
-                        table.stage_descriptor(lid, ci, b)
-                        self._desc_stage.append((lid, ci, b))
-                        n_ms += 1
+            for r in ms_rows[ms_rows[:, 7] > 0.5]:
+                k, ci = divmod(int(r[0]), NC)
+                if k >= len(top_ids):
+                    continue
+                kid = top_ids[k]
+                a, b = int(r[1]), int(r[2])
+                fa = self._kf_store[kid][ci]
+                fr = frames[ci]
+                lid = estimator.add_landmark(r[3:7], initialised=True)
+                estimator.add_observation(
+                    lid, kid, ci, a, fa["xy"][a], fa["size"][a]
+                )
+                estimator.add_observation(
+                    lid, sid, ci, b, fr["xy"][b], fr["size"][b]
+                )
+                table.stage_descriptor(lid, ci, b)
+                self._desc_stage.append((lid, ci, b))
+                n_ms += 1
         table.flush(stacked["signs"])
         return frames, {
             "num_matched": n_matched, "num_motion_stereo": n_ms,

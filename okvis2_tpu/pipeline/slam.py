@@ -124,7 +124,21 @@ class SlamSystem:
         return True
 
     def add_images(self, t: float, images: List[np.ndarray]) -> bool:
-        self._image_queue.append((float(t), images))
+        dev = None
+        if self.pipelined:
+            # start the frame's biggest upload (~720 KB stereo) NOW:
+            # the transfer crosses the tunnel while the previous
+            # frame's finish/bookkeeping runs, instead of serialising
+            # inside process_frame
+            import jax.numpy as jnp
+
+            imgs = np.stack(images)
+            if imgs.dtype != np.uint8:
+                imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
+                    np.uint8
+                )
+            dev = jnp.asarray(imgs)
+        self._image_queue.append((float(t), images, dev))
         return True
 
     def add_depth_image(self, t: float, depth: np.ndarray,
@@ -269,7 +283,7 @@ class SlamSystem:
 
         with SwitchableTimer("0 finish previous frame"):
             self._finish_pending()
-        t, images = self._image_queue.popleft()
+        t, images, images_dev = self._image_queue.popleft()
         est = self.estimator
         imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
         self._last_frame_t = t
@@ -278,13 +292,32 @@ class SlamSystem:
 
         with SwitchableTimer("1 frontend dispatch"):
             ctx = self.frontend.dispatch_frame(
-                est, images, sid, T_WS_pred7
+                est, images, sid, T_WS_pred7, images_dev=images_dev
             )
         # the device crunches detection/matching while the host packs
         with SwitchableTimer("3 pack + fused solve dispatch"):
             out = est.dispatch_fused_solve(ctx, self.frontend.table)
+        # fetch the combined output in a BACKGROUND thread: numpy's
+        # device->host conversion releases the GIL for the transfer, so
+        # the RPC's ~50 ms round trip over the tunnel overlaps the next
+        # frame's host work instead of blocking at finish time
+        # (copy_to_host_async alone proved insufficient once the next
+        # frame's RPCs queue behind it)
+        import threading
+
+        fut = {}
+
+        def _fetch(o=out, f=fut):
+            try:
+                f["arr"] = np.asarray(o)
+            except Exception as e:  # surfaced at join time
+                f["err"] = e
+
+        th = threading.Thread(target=_fetch, daemon=True)
+        th.start()
         self._pending_frame = {
             "t": t, "sid": sid, "ctx": ctx, "out": out,
+            "fetch": (th, fut),
             "slot_of": dict(est._slot_of), "lm_ids": list(est._lm_ids),
             "images": images,
         }
@@ -301,21 +334,30 @@ class SlamSystem:
             return
         self._pending_frame = None
         est = self.estimator
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
         # a full-graph solve dispatched at the last loop closure lands
         # here, one frame later (its copy crossed in the background)
         if self.loop_backend is not None:
             self.loop_backend.apply_pending_full_graph(est)
-        out = np.asarray(p["out"])  # lagged: in flight a whole frame
+        with SwitchableTimer("0.1 lagged [solve|diag] fetch"):
+            th, fut = p["fetch"]
+            th.join()
+            if "err" in fut:
+                raise fut["err"]
+            out = fut["arr"]  # fetched in the background last frame
         n_solve = est.solve_out_size()
         solve_np, diag_np = out[:n_solve], out[n_solve:]
         sid = p["sid"]
-        frames, m = self.frontend.finish_frame(est, p["ctx"], diag_np)
-        est.apply_solved_flat(solve_np, p["slot_of"], p["lm_ids"])
+        with SwitchableTimer("0.2 finish bookkeeping"):
+            frames, m = self.frontend.finish_frame(est, p["ctx"], diag_np)
+            est.apply_solved_flat(solve_np, p["slot_of"], p["lm_ids"])
         if est.cfg.online_extrinsics:
             self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
-        self._frame_epilogue(
-            p["t"], sid, frames, m, p["images"], dispatch_solve=False
-        )
+        with SwitchableTimer("0.3 epilogue"):
+            self._frame_epilogue(
+                p["t"], sid, frames, m, p["images"], dispatch_solve=False
+            )
 
     def finish(self):
         """Drain the pipelined loop (call after the last frame)."""
@@ -328,7 +370,7 @@ class SlamSystem:
     def _process_frame_sync(self) -> bool:
         if not self._image_queue:
             return False
-        t, images = self._image_queue.popleft()
+        t, images, _dev = self._image_queue.popleft()
         est = self.estimator
 
         from okvis2_tpu.utils.timing import SwitchableTimer
@@ -520,6 +562,7 @@ class SlamSystem:
             est.states[sid].in_window = False
         est.window = list(keep)
         est.landmarks.clear()
+        est._by_state.clear()
         est._obs_rev = getattr(est, "_obs_rev", 0) + 1
         est.pose_graph_edges.clear()
         self.frontend.lm_descriptors.clear()

@@ -35,8 +35,9 @@ class PackedLayout:
     can be a static jit argument.
     """
 
-    def __init__(self, S, L, O, NC, R, imu_capacity, dtype=None):
-        self.key = (S, L, O, NC, R, imu_capacity)
+    def __init__(self, S, L, O, NC, R, imu_capacity, dtype=None,
+                 aux_f: int = 0, aux_i: int = 0):
+        self.key = (S, L, O, NC, R, imu_capacity, aux_f, aux_i)
         template = jax.eval_shape(
             lambda: WindowProblem.empty(S, L, O, NC, imu_capacity,
                                         num_rel=R, dtype=dtype)
@@ -53,8 +54,14 @@ class PackedLayout:
             else:
                 self.specs.append(("i", off_i, n, leaf.shape, leaf.dtype))
                 off_i += n
-        self.n_float = off_f
-        self.n_int = off_i
+        # trailing aux regions: Phase-B side-channel values (landmark
+        # slot map, weight scales, current slot, obs base) ride THE SAME
+        # two uploads as the problem — each extra host->device transfer
+        # is a serialised RPC over the tunnel
+        self.aux_f_off = off_f
+        self.aux_i_off = off_i
+        self.n_float = off_f + aux_f
+        self.n_int = off_i + aux_i
         self.float_dtype = np.float64 if jax.config.jax_enable_x64 \
             else np.float32
 
@@ -184,10 +191,6 @@ def solve_packed_fused(
     keep: jnp.ndarray,
     xy: jnp.ndarray,
     size: jnp.ndarray,
-    lm_slot_map: jnp.ndarray,
-    w_scale: jnp.ndarray,
-    cur_slot: jnp.ndarray,
-    n_obs_base: jnp.ndarray,
     diag: jnp.ndarray,
     cameras,
     imu_params,
@@ -197,7 +200,14 @@ def solve_packed_fused(
     """Phase-B solve: unflatten the host pack, append the current
     frame's device-resident match rows, solve, and return ONE flat
     array [solve_out | frontend diag] — the frame's single (lagged)
-    readback carries both."""
+    readback carries both. The landmark slot map / weight scales /
+    current slot / obs base ride the trailing aux regions of the two
+    flat uploads (see PackedLayout)."""
+    cap = idx.shape[1]
+    w_scale = flat_f[layout.aux_f_off:layout.aux_f_off + cap]
+    lm_slot_map = flat_i[layout.aux_i_off:layout.aux_i_off + cap]
+    cur_slot = flat_i[layout.aux_i_off + cap]
+    n_obs_base = flat_i[layout.aux_i_off + cap + 1]
     problem = layout.unflatten(flat_f, flat_i)
     problem = _append_matches(
         problem, idx, keep, xy, size, lm_slot_map, w_scale,
