@@ -1356,12 +1356,13 @@ _warn_counts: Dict[str, int] = {}
 
 def _warn_capacity(key: str, msg: str):
     """Log capacity-bound truncation (weak spot vs the uncapped
-    reference), rate-limited: first occurrence, then every 64th."""
+    reference), rate-limited with exponential backoff: occurrences
+    1, 64, 512, 4096, ... (a per-frame condition must not flood logs)."""
     import logging
 
     n = _warn_counts.get(key, 0)
     _warn_counts[key] = n + 1
-    if n % 64 == 0:
+    if n == 0 or n == 64 or (n >= 512 and (n & (n - 1)) == 0):
         logging.getLogger("okvis2_tpu").warning("%s (x%d)", msg, n + 1)
 
 

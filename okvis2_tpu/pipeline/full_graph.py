@@ -71,9 +71,14 @@ class LoopClosureConfig:
     exclude_recent: int = 5
     full_graph_iterations: int = 15  # config/euroc.yaml:85
     vocabulary_size: int = 512
-    # train the online vocabulary as soon as a few keyframes' worth of
-    # descriptors exist — waiting longer starves place recognition on
-    # keyframe-sparse sequences
+    # pretrained general vocabulary (the reference ships
+    # resources/small_voc.yml.gz the same way); None disables, "" means
+    # the committed default resource. Falls back to online training
+    # when the file is missing.
+    vocabulary_path: Optional[str] = ""
+    # online-training fallback: train as soon as a few keyframes' worth
+    # of descriptors exist — waiting longer starves place recognition
+    # on keyframe-sparse sequences
     min_train_descriptors: int = 800
     # drift error budget (ViSlamBackend.cpp:2135-2140): positional
     # 1.35 %/m of travelled path + 2 % scale + noise/sqrt(steps);
@@ -109,6 +114,19 @@ class LoopClosureBackend:
         self.cfg = config
         self.voc: Optional[BinaryVocabulary] = None
         self.db: Optional[PlaceRecognitionDatabase] = None
+        # prefer the committed general vocabulary (first-scene-biased
+        # online training is the fallback; the reference ships a
+        # pretrained small_voc.yml.gz the same way)
+        if config.vocabulary_path is not None:
+            import os
+
+            path = config.vocabulary_path or os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "resources", "default_voc.npz",
+            )
+            if os.path.exists(path):
+                self.voc = BinaryVocabulary.load(path)
+                self.db = PlaceRecognitionDatabase(self.voc)
         self._train_buffer: List[np.ndarray] = []
         # per keyframe: descriptor signs + keypoint xy (cam0) for verification
         self._kf_data: dict = {}
