@@ -7,8 +7,11 @@ resources/small_voc.yml.gz) with a TPU-native design:
 
 - the vocabulary is a flat codebook of W binary centroids trained by
   k-majority (bitwise-median k-means) — no tree descent: quantisation of
-  N descriptors is ONE [N,B]x[B,W] sign matmul + argmax (MXU), which at
-  W<=4096 is faster than walking a 6-level tree per descriptor;
+  N descriptors is ONE [N,B]x[B,W] sign matmul + argmax, which at
+  W<=4096 is faster than walking a 6-level tree per descriptor. The
+  matmul runs in host BLAS: it is a few ms of compute, and a device
+  dispatch would pay several serialised tunnel RPCs per keyframe
+  (including re-uploading the ~1 MB codebook);
 - a frame's bag-of-words vector is a tf-idf-weighted scatter of its word
   ids; database queries score against ALL stored keyframes with one
   [K,W]x[W] matvec (cosine/L1 similarity), replacing DBoW2's inverted
@@ -22,8 +25,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
@@ -71,9 +72,14 @@ class BinaryVocabulary:
 
     # ------------------------------------------------------------------
     def quantize(self, signs, mask=None) -> np.ndarray:
-        """Descriptor signs [N,B] -> word ids [N]."""
-        dots = jnp.asarray(signs, jnp.float32) @ jnp.asarray(self.centroid_signs).T
-        ids = np.asarray(jnp.argmax(dots, axis=-1))
+        """Descriptor signs [N,B] -> word ids [N].
+
+        Host BLAS on purpose: a device dispatch here would re-upload the
+        ~1 MB centroid matrix and the frame's descriptors over the
+        serialised tunnel at EVERY keyframe (several RPCs, ~100 ms),
+        while the [N,512]x[512,W] matmul takes a few ms in numpy."""
+        dots = np.asarray(signs, np.float32) @ self.centroid_signs.T
+        ids = np.argmax(dots, axis=-1)
         if mask is not None:
             ids = np.where(np.asarray(mask), ids, -1)
         return ids

@@ -813,13 +813,13 @@ class Estimator:
             cfg = dataclasses.replace(cfg, max_iterations=iterations)
 
         layout = self._get_packed_layout()
-        buf_f, buf_i = self._packed_bufs
+        buf_f, buf_i, buf_all = self._packed_bufs
 
         prob_np = self.pack_np()
         layout.fill(buf_f, buf_i, prob_np)
         self._solve_t0 = _time.perf_counter()
         out = solve_packed(
-            buf_f, buf_i, self.cameras, self.imu_params, layout, cfg
+            buf_all, self.cameras, self.imu_params, layout, cfg
         )
         # start the device->host copy now so that by the time
         # apply_pending_solve blocks, the single flat output has already
@@ -881,7 +881,7 @@ class Estimator:
 
         cap = table.capacity
         layout = self._get_packed_layout(aux_cap=cap)
-        buf_f, buf_i = self._packed_bufs
+        buf_f, buf_i, buf_all = self._packed_bufs
         with SwitchableTimer("3.1 pack_np + fill"):
             prob_np = self.pack_np()
             layout.fill(buf_f, buf_i, prob_np)
@@ -906,7 +906,7 @@ class Estimator:
         m = ctx["match"]
         with SwitchableTimer("3.2 solve dispatch"):
             out = solve_packed_fused(
-                buf_f, buf_i, m["idx"], m["keep"], m["xy"], m["size"],
+                buf_all, m["idx"], m["keep"], m["xy"], m["size"],
                 ctx["diag"],
                 self.cameras, self.imu_params, layout, cfg,
             )

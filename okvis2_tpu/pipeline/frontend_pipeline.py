@@ -157,6 +157,9 @@ def _associate_device(
 
 @functools.partial(
     jax.jit,
+    # the program folds the staged descriptor-table updates and returns
+    # the new table state; donating the old buffers avoids a 6 MB copy
+    donate_argnums=(3, 4),
     static_argnames=(
         "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
         "do_motion_stereo", "gravity_aligned",
@@ -165,10 +168,13 @@ def _associate_device(
 def _frame_associate_device(
     cameras,
     images: jnp.ndarray,  # [NC,H,W] uint8
-    aux_f: jnp.ndarray,  # [Nf] f32 flat: T_WS7 | T_SC | hp | T_WS_kf7 | 5 scalars
-    aux_i: jnp.ndarray,  # [Ni] i32 flat: lm_mask | lm_init | kf_free | kf_valid
+    aux: jnp.ndarray,  # [Nf+Ni] f32 flat: float section | int-as-float
+    # section (lm_mask | lm_init | kf_free | kf_valid | counter | upd);
+    # ints ride the float carrier (< 2^24, exact) so the whole per-frame
+    # host state crosses the tunnel as ONE upload RPC
     tab_signs: jnp.ndarray,
     tab_valid: jnp.ndarray,
+    prev_signs: jnp.ndarray,  # [NC,N,B] source of staged table updates
     kf_xy: jnp.ndarray,  # [KF,NC,N,2] top-K keyframe stacks (device)
     kf_signs: jnp.ndarray,  # [KF,NC,N,B] (device)
     extra_flat: jnp.ndarray,  # [K] piggybacked through the readback
@@ -198,7 +204,11 @@ def _frame_associate_device(
     NC = len(cameras)
     cap = tab_signs.shape[0]
     KF, _, N = kf_xy.shape[0], kf_xy.shape[1], kf_xy.shape[2]
-    # ---- decode the flat aux uploads (free slicing in XLA) ----
+    # ---- decode the flat aux upload (free slicing in XLA) ----
+    nf = 7 + NC * 7 + cap * 4 + KF * 7 + 5
+    aux_f = aux[:nf]
+    # int section rides the float carrier; values are exact (< 2^24)
+    aux_i = jnp.round(aux[nf:]).astype(jnp.int32)
     o = 0
     T_WS7 = aux_f[o:o + 7]; o += 7
     T_SC7 = aux_f[o:o + NC * 7].reshape(NC, 7); o += NC * 7
@@ -218,7 +228,14 @@ def _frame_associate_device(
     # RANSAC randomness derived ON DEVICE from the frame counter — a
     # host-side key split would be one more dispatch on the serialised
     # tunnel every frame
-    key = jax.random.fold_in(jax.random.PRNGKey(42), aux_i[oi])
+    key = jax.random.fold_in(jax.random.PRNGKey(42), aux_i[oi]); oi += 1
+    # descriptor-table updates staged by the PREVIOUS frame's (lagged)
+    # bookkeeping fold into this dispatch — the separate flush
+    # upload+dispatch pair would be two more serialised RPCs per frame
+    upd = aux_i[oi:oi + 4 * _FLUSH_U]
+    tab_signs, tab_valid = _table_update_body(
+        tab_signs, tab_valid, prev_signs, upd
+    )
     if images.dtype == jnp.uint8:
         # images travel the tunnel as uint8 (4x less upload) and widen
         # on device
@@ -377,11 +394,17 @@ def _frame_associate_device(
         # frame's single readback instead of paying its own ~60 ms RPC
         extra_flat.astype(jnp.float32).ravel(),
     ])
-    stacked = {"xy": xy, "mask": kp_mask, "signs": kp_signs}
+    # signs_packed: keyframes fetch descriptors to the host (place
+    # recognition / map export) as bit-packed uint32 — 64 KB instead of
+    # 2 MB ±1 floats over the tunnel
+    stacked = {
+        "xy": xy, "mask": kp_mask, "signs": kp_signs,
+        "signs_packed": desc["packed"],
+    }
     # device-resident match tensors for the Phase-B fused solve (obs
     # rows are appended on device without any host readback)
     match = {"idx": idx, "keep": keep, "xy": xy, "size": det["size"]}
-    return diag, stacked, match
+    return diag, stacked, match, tab_signs, tab_valid
 
 
 def _stereo_pair(
@@ -471,13 +494,10 @@ def _associate_core(
     return idx, ok, keep & ok, res["num_inliers"], res["ok"]
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _table_update(
-    tab_signs: jnp.ndarray,  # [Lc,K,B]
-    tab_valid: jnp.ndarray,  # [Lc,K]
-    kp_signs: jnp.ndarray,  # [NC,N,B] this frame's descriptors
-    upd: jnp.ndarray,  # [4U] i32 flat: tgt | cam | kp | clear (ONE upload)
-):
+_FLUSH_U = 512  # staged table updates folded into each fused dispatch
+
+
+def _table_update_body(tab_signs, tab_valid, kp_signs, upd):
     U = upd.shape[0] // 4
     tgt = upd[0:U]
     cam = upd[U:2 * U]
@@ -498,59 +518,52 @@ def _table_update(
     return flat_s.reshape(Lc, K, B), flat_v.reshape(Lc, K)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _table_update(tab_signs, tab_valid, kp_signs, upd):
+    """Standalone flush dispatch (sync path / keyframe extras)."""
+    return _table_update_body(tab_signs, tab_valid, kp_signs, upd)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("ci_a", "ci_b", "max_distance", "allow_parallel")
+    jax.jit, static_argnames=("pairs", "max_distance", "allow_parallel")
 )
-def _stereo_device(
-    cam_a,
-    cam_b,
-    T_WA7: jnp.ndarray,  # [7] camera-A pose in world
-    T_WB7: jnp.ndarray,  # [7] camera-B pose in world
+def _stereo_pairs_device(
+    cameras,
+    aux: jnp.ndarray,  # flat f32: T_WA7s | T_WB7s | gates | 2 depths |
+    #                    free_a | free_b  (ONE upload RPC)
     xy: jnp.ndarray,  # [NC,N,2] stacked keypoints (device)
     signs: jnp.ndarray,  # [NC,N,B]
-    free_a: jnp.ndarray,
-    free_b: jnp.ndarray,
-    epi_gate: jnp.ndarray,
-    min_depth: jnp.ndarray,
-    max_depth: jnp.ndarray,
-    ci_a: int,
-    ci_b: int,
+    pairs,  # static tuple of (ci, cj)
     max_distance: int,
     allow_parallel: bool,
 ):
-    """One-dispatch epipolar-gated matching + triangulation between two
-    camera views (shared by static stereo and motion stereo). Returns
-    (idx_b [N], hp_W [N,4], good [N], parallel [N])."""
-    xy_a, xy_b = xy[ci_a], xy[ci_b]
-    signs_a, signs_b = signs[ci_a], signs[ci_b]
-    T_WA = Transformation(r=T_WA7[:3], q=T_WA7[3:7])
-    T_WB = Transformation(r=T_WB7[:3], q=T_WB7[3:7])
-    rays_a = cam_a.back_project(xy_a)
-    rays_b = cam_b.back_project(xy_b)
-    T_AB = T_WA.inverse() @ T_WB
-    rays_b_in_a = (T_AB.C @ rays_b.T).T
-    n_plane = jnp.cross(jnp.broadcast_to(T_AB.r, rays_a.shape), rays_a)
-    n_plane = n_plane / (
-        jnp.linalg.norm(n_plane, axis=-1, keepdims=True) + 1e-12
-    )
-    epi = jnp.abs(jnp.einsum("nk,mk->nm", n_plane, rays_b_in_a))
-    gate = epi < epi_gate
-    m = match_descriptors(
-        signs_a, free_a, signs_b, free_b,
-        max_distance=max_distance, gate=gate,
-    )
-    bi_full = jnp.where(m["valid"], m["idx_b"], 0)
-    hp_W, valid_t, parallel = triangulate_in_frames(
-        T_WA, T_WB, rays_a, rays_b[bi_full]
-    )
-    p_A = jax.vmap(T_WA.inverse().apply_homogeneous)(hp_W)
-    safe_w = jnp.where(p_A[:, 3] != 0, p_A[:, 3], 1e-12)
-    depth = p_A[:, 2] / safe_w
-    depth_ok = (depth > min_depth) & (depth < max_depth)
-    good = m["valid"] & valid_t & (
-        (parallel & allow_parallel) | (~parallel & depth_ok)
-    )
-    return m["idx_b"], hp_W, good, parallel
+    """Static stereo across ALL overlapping camera pairs in ONE dispatch
+    with one stacked output — the per-pair dispatch+readback loop costs
+    a serialised tunnel roundtrip per pair (~10 of them on a Hilti-rig
+    keyframe). Returns (idx_b [P,N], hp_W [P,N,4], good [P,N],
+    parallel [P,N]). Reference: matchStereo, Frontend.cpp:1981-2150."""
+    P = len(pairs)
+    N = xy.shape[1]
+    o = 0
+    T_WA7s = aux[o:o + P * 7].reshape(P, 7); o += P * 7
+    T_WB7s = aux[o:o + P * 7].reshape(P, 7); o += P * 7
+    gates = aux[o:o + P]; o += P
+    min_depth = aux[o]
+    max_depth = aux[o + 1]; o += 2
+    free_a = aux[o:o + P * N].reshape(P, N) > 0.5; o += P * N
+    free_b = aux[o:o + P * N].reshape(P, N) > 0.5
+    outs = []
+    for p, (ci, cj) in enumerate(pairs):
+        T_WA = Transformation(r=T_WA7s[p, :3], q=T_WA7s[p, 3:7])
+        T_WB = Transformation(r=T_WB7s[p, :3], q=T_WB7s[p, 3:7])
+        i_b, hp_W, good, parallel = _stereo_pair(
+            cameras[ci], cameras[cj], T_WA, T_WB,
+            xy[ci], signs[ci], free_a[p], xy[cj], signs[cj], free_b[p],
+            gates[p], min_depth, max_depth,
+            max_distance, allow_parallel,
+        )
+        outs.append((i_b, hp_W, good, parallel))
+    return tuple(jnp.stack(x) for x in zip(*outs))
 
 
 class DeviceLandmarkTable:
@@ -624,6 +637,38 @@ class DeviceLandmarkTable:
         ring = int(self.ring_next[s])
         self.ring_next[s] = (ring + 1) % self.n_desc
         self._upd.append((s, ring, cam, kp))
+
+    def staged_count(self) -> int:
+        return len(self._upd) + len(self._clear)
+
+    def drain(self, U: int) -> "np.ndarray":
+        """Consume up to U staged updates + clears into one flat [4U]
+        int32 block (tgt | cam | kp | clear) for the fused in-program
+        table update; leftovers stay staged."""
+        K = self.n_desc
+        upd = np.empty(4 * U, np.int32)
+        tgt = upd[0:U]
+        tgt[:] = self.capacity * K  # drop
+        cam = upd[U:2 * U]
+        cam[:] = 0
+        kp = upd[2 * U:3 * U]
+        kp[:] = 0
+        # same ordering rule as flush(): when the clear backlog spills
+        # over one batch, drain only clears so a later batch's clear can
+        # never wipe a slot whose new tenant's descriptor went out in an
+        # earlier batch
+        batch = [] if len(self._clear) > U else self._upd[:U]
+        self._upd = self._upd[len(batch):]
+        for i, (sl, ring, c, k) in enumerate(batch):
+            tgt[i] = sl * K + ring
+            cam[i] = c
+            kp[i] = k
+        clear = upd[3 * U:4 * U]
+        clear[:] = self.capacity
+        clr = self._clear[:U]
+        self._clear = self._clear[U:]
+        clear[: len(clr)] = clr
+        return upd
 
     def flush(self, kp_signs_device, upd_capacity: int = 512):
         """Apply staged updates in one donated-scatter dispatch."""
@@ -816,12 +861,15 @@ class Frontend:
         KF = cfg.motion_stereo_keyframes
         B = DESCRIPTOR_BITS
         nf = 7 + NC * 7 + cap * 4 + KF * 7 + 5
-        ni = 2 * cap + KF * NC * N + KF + 1
+        ni = 2 * cap + KF * NC * N + KF + 1 + 4 * _FLUSH_U  # + staged upd
         bufs = getattr(self, "_aux_bufs", None)
-        if bufs is None or bufs[0].shape[0] != nf or bufs[1].shape[0] != ni:
-            bufs = (np.zeros(nf, np.float32), np.zeros(ni, np.int32))
+        if bufs is None or bufs[2].shape[0] != nf + ni:
+            # ONE float32 carrier (ints are exact < 2^24): the whole
+            # per-frame aux state is a single upload RPC over the tunnel
+            combined = np.zeros(nf + ni, np.float32)
+            bufs = (combined[:nf], combined[nf:], combined)
             self._aux_bufs = bufs
-        aux_f, aux_i = bufs
+        aux_f, aux_i, aux_all = bufs
         o = 0
         aux_f[o:o + 7] = T_WS_pred7; o += 7
         aux_f[o:o + NC * 7] = np.concatenate(self.T_SC_np); o += NC * 7
@@ -899,9 +947,20 @@ class Frontend:
                 self._kf_zero_stack = pads
             kf_xy_dev, kf_signs_dev = pads
         aux_i[2 * cap:2 * cap + KF * NC * N] = kf_free.reshape(-1)
-        aux_i[2 * cap + KF * NC * N:2 * cap + KF * NC * N + KF] = kf_valid
+        oc = 2 * cap + KF * NC * N
+        aux_i[oc:oc + KF] = kf_valid
         self._frame_counter = getattr(self, "_frame_counter", 0) + 1
-        aux_i[-1] = self._frame_counter
+        aux_i[oc + KF] = self._frame_counter
+        # staged descriptor-table updates (from the previous frame's
+        # lagged bookkeeping) fold into this dispatch
+        aux_i[oc + KF + 1:] = table.drain(_FLUSH_U)
+        prev_signs = getattr(self, "_staged_signs_dev", None)
+        if prev_signs is None:
+            zp = getattr(self, "_prev_signs_zero", None)
+            if zp is None or zp.shape != (NC, N, B):
+                zp = jnp.zeros((NC, N, B), fdtype)
+                self._prev_signs_zero = zp
+            prev_signs = zp
 
         if extra_flat is None:
             extra_dev = getattr(self, "_zero_extra", None)
@@ -911,13 +970,14 @@ class Frontend:
         else:
             extra_dev = jnp.asarray(extra_flat)
 
-        diag, stacked, match = _frame_associate_device(
+        diag, stacked, match, new_signs, new_valid = \
+            _frame_associate_device(
             self.cameras,
             images_dev,
-            jnp.asarray(aux_f),
-            jnp.asarray(aux_i),
+            jnp.asarray(aux_all),
             table.signs,
             table.valid,
+            prev_signs,
             kf_xy_dev,
             kf_signs_dev,
             extra_dev,
@@ -929,6 +989,14 @@ class Frontend:
             do_ms,
             cfg.gravity_aligned_description,
         )
+        # the program applied the folded staged updates — adopt its
+        # table state as the resident one
+        table.signs = new_signs
+        table.valid = new_valid
+        if not table._upd:
+            # all descriptor writes consumed (leftover clears don't
+            # reference the staged signs, so the source can go)
+            self._staged_signs_dev = None
         return {
             "sid": sid, "diag": diag, "stacked": stacked,
             "match": match, "do_ms": do_ms, "top_ids": top_ids,
@@ -944,6 +1012,11 @@ class Frontend:
         Returns (frames, info)."""
         cfg = self.cfg
         table = self.table
+        # leftovers the last fold couldn't take (>_FLUSH_U staged in one
+        # frame) index an OLDER frame's signs — flush them before this
+        # frame's staging starts so the sources never mix
+        if table._upd:
+            self._flush_staged()
         sid = ctx["sid"]
         stacked = ctx["stacked"]
         do_ms = ctx["do_ms"]
@@ -1017,7 +1090,11 @@ class Frontend:
                 table.stage_descriptor(lid, ci, b)
                 self._desc_stage.append((lid, ci, b))
                 n_ms += 1
-        table.flush(stacked["signs"])
+        # do NOT flush here: the staged updates fold into the NEXT
+        # frame's fused dispatch (one fewer upload+dispatch RPC pair per
+        # frame over the serialised tunnel); record which frame's signs
+        # they index so the fold gathers from the right array
+        self._staged_signs_dev = stacked["signs"]
         return frames, {
             "num_matched": n_matched, "num_motion_stereo": n_ms,
             "ransac_inliers": n_inl, "ransac_ok": ransac_ok,
@@ -1028,11 +1105,22 @@ class Frontend:
     def fetch_signs(self, frames):
         """Blocking fetch of this frame's descriptors (keyframes only:
         place recognition, loop verification and map export need host
-        copies; ~2 MB over the tunnel). Also resolves the staged
-        lm_descriptors updates."""
+        copies). Fetches the BIT-PACKED uint32 form (64 KB instead of
+        2 MB of ±1 floats — the tunnel charges for bytes beyond the
+        fixed RTT) and unpacks to the ±1 convention on host. Also
+        resolves the staged lm_descriptors updates."""
         stacked = frames[0]["stacked"]
-        signs_np = np.asarray(stacked["signs"])
+        packed = np.asarray(stacked["signs_packed"])  # [NC,N,B//32]
+        NC, N = packed.shape[0], packed.shape[1]
+        bits = (
+            (packed[..., None] >> np.arange(32, dtype=np.uint32)) & 1
+        ).reshape(NC, N, -1)
+        signs_np = np.where(bits > 0, 1.0, -1.0).astype(np.float32)
+        # masked-out keypoints have all-zero sign rows in the float form
         for ci, fr in enumerate(frames):
+            signs_np[ci] *= np.asarray(
+                fr["mask"], np.float32
+            )[:, None]
             fr["signs_np"] = signs_np[ci]
         for (lid, ci, kp) in self._desc_stage:
             if kp < signs_np.shape[1]:
@@ -1041,6 +1129,18 @@ class Frontend:
         return signs_np
 
     # ------------------------------------------------------------------
+    def _flush_staged(self):
+        """Apply descriptor updates still staged for the fused fold
+        (their source signs were recorded when they were staged) — call
+        before any direct read of the device table outside the fused
+        program. Pending clears don't need this: dead slots are already
+        gated host-side via lm_mask/slot_of."""
+        t = self.table
+        src = getattr(self, "_staged_signs_dev", None)
+        if t._upd and src is not None:
+            t.flush(src)
+            self._staged_signs_dev = None
+
     def _sync_table(self, estimator: Estimator):
         """Free table slots of landmarks that no longer exist."""
         dead = [
@@ -1063,6 +1163,9 @@ class Frontend:
         then removes — Frontend.cpp:1388-1432; same net effect)."""
         cfg = self.cfg
         self._sync_table(estimator)
+        # this path reads the device table directly — apply updates the
+        # next fused dispatch hasn't folded yet
+        self._flush_staged()
         table = self.table
         stacked = frames[0]["stacked"]
         if not table.slot_of:
@@ -1169,48 +1272,70 @@ class Frontend:
 
     def match_stereo(self, estimator: Estimator, frames, sid: int):
         """Static-stereo initialisation of new landmarks across ALL
-        overlapping camera pairs (matchStereo, Frontend.cpp:1981-2150)."""
+        overlapping camera pairs (matchStereo, Frontend.cpp:1981-2150).
+
+        All pairs run in ONE device dispatch with one readback (the old
+        per-pair loop paid a serialised tunnel roundtrip per pair); the
+        pair-order keypoint consumption the reference gets from its
+        sequential matching is reproduced by a host-side dedup over the
+        batched results."""
         cfg = self.cfg
         if len(self.cameras) < 2:
             return 0
+        pairs = tuple(self._overlapping_pairs())
+        if not pairs:
+            return 0
         rec = estimator.states[sid]
-        n_new = 0
         stacked = frames[0]["stacked"]
-        dtype = stacked["signs"].dtype
-        for (ci, cj) in self._overlapping_pairs():
-            used = {
-                (c, kp) for (_l, c, kp) in estimator.obs_of_state(sid)
-            }
-            fa, fb = frames[ci], frames[cj]
-            free_a = fa["mask"].copy()
-            free_b = fb["mask"].copy()
-            for (c, kp) in used:
-                if c == ci:
-                    free_a[kp] = False
-                elif c == cj:
-                    free_b[kp] = False
-
-            T_WA7 = se3_np.compose7(rec.pose, self.T_SC_np[ci])
-            T_WB7 = se3_np.compose7(rec.pose, self.T_SC_np[cj])
+        dtype = np.float32
+        used = {
+            (c, kp) for (_l, c, kp) in estimator.obs_of_state(sid)
+        }
+        free = np.stack([np.asarray(f["mask"], bool) for f in frames])
+        N = free.shape[1]
+        for (c, kp) in used:
+            if kp < N:
+                free[c, kp] = False
+        P = len(pairs)
+        aux = np.zeros(P * 14 + P + 2 + 2 * P * N, dtype)
+        o = 0
+        for p, (ci, cj) in enumerate(pairs):
+            aux[o + p * 7:o + p * 7 + 7] = se3_np.compose7(
+                rec.pose, self.T_SC_np[ci]
+            )
+            aux[o + (P + p) * 7:o + (P + p) * 7 + 7] = se3_np.compose7(
+                rec.pose, self.T_SC_np[cj]
+            )
             f0 = float(np.asarray(self.cameras[ci].focal).ravel()[0])
-            idx_b, hp_W, good, parallel = _stereo_device(
-                self.cameras[ci], self.cameras[cj],
-                jnp.asarray(T_WA7, dtype), jnp.asarray(T_WB7, dtype),
+            aux[o + 14 * P + p] = cfg.stereo_epipolar_gate / f0
+        o += 15 * P
+        aux[o] = cfg.min_depth
+        aux[o + 1] = cfg.max_depth
+        o += 2
+        for p, (ci, cj) in enumerate(pairs):
+            aux[o + p * N:o + (p + 1) * N] = free[ci]
+            aux[o + (P + p) * N:o + (P + p + 1) * N] = free[cj]
+        idx_b, hp_W, good, parallel = jax.device_get(
+            _stereo_pairs_device(
+                self.cameras, jnp.asarray(aux),
                 stacked["xy"], stacked["signs"],
-                jnp.asarray(free_a), jnp.asarray(free_b),
-                jnp.asarray(cfg.stereo_epipolar_gate / f0, dtype),
-                jnp.asarray(cfg.min_depth, dtype),
-                jnp.asarray(cfg.max_depth, dtype),
-                ci, cj, cfg.matching_threshold, True,
+                pairs, cfg.matching_threshold, True,
             )
-            hp_W, good, parallel, idx_b = jax.device_get(
-                (hp_W, good, parallel, idx_b)
-            )
-            for a in np.nonzero(good)[0]:
+        )
+        n_new = 0
+        for p, (ci, cj) in enumerate(pairs):
+            fa, fb = frames[ci], frames[cj]
+            for a in np.nonzero(good[p])[0]:
                 a = int(a)
-                b = int(idx_b[a])
+                b = int(idx_b[p][a])
+                # sequential-pair semantics: a keypoint consumed by an
+                # earlier pair cannot seed another landmark
+                if (ci, a) in used or (cj, b) in used:
+                    continue
+                used.add((ci, a))
+                used.add((cj, b))
                 lid = estimator.add_landmark(
-                    hp_W[a], initialised=not parallel[a]
+                    hp_W[p][a], initialised=not parallel[p][a]
                 )
                 estimator.add_observation(
                     lid, sid, ci, a, fa["xy"][a], fa["size"][a]

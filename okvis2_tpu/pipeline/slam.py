@@ -619,7 +619,9 @@ class SlamSystem:
                 self.frontend.lm_descriptors[new_id] = signs
                 loaded[new_id] = signs
         # the loaded landmarks must enter the device-resident matching
-        # table or match-to-map will never see them
+        # table or match-to-map will never see them (flush staged
+        # updates first: load_host_descriptors snapshots the table)
+        self.frontend._flush_staged()
         self.frontend.table.load_host_descriptors(loaded)
         # landmarks of this load are anchored to the loaded map frame:
         # a relocalisation correction moves the SESSION, not them

@@ -56,8 +56,8 @@ class PackedLayout:
                 off_i += n
         # trailing aux regions: Phase-B side-channel values (landmark
         # slot map, weight scales, current slot, obs base) ride THE SAME
-        # two uploads as the problem — each extra host->device transfer
-        # is a serialised RPC over the tunnel
+        # upload as the problem — each extra host->device transfer is a
+        # serialised RPC over the tunnel
         self.aux_f_off = off_f
         self.aux_i_off = off_i
         self.n_float = off_f + aux_f
@@ -72,10 +72,17 @@ class PackedLayout:
         return isinstance(other, PackedLayout) and self.key == other.key
 
     # ---------------- host side ----------------
-    def make_buffers(self) -> Tuple[np.ndarray, np.ndarray]:
+    def make_buffers(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One combined float-dtype carrier so the whole problem crosses
+        the tunnel as a SINGLE upload RPC. The int section is stored as
+        floats (every packed int is a slot/keypoint index or mask,
+        |v| < 2^24, exact in float32) and truncated back on device.
+        buf_f / buf_i are in-place views of the carrier."""
+        combined = np.zeros(self.n_float + self.n_int, self.float_dtype)
         return (
-            np.zeros(self.n_float, self.float_dtype),
-            np.zeros(self.n_int, np.int32),
+            combined[: self.n_float],
+            combined[self.n_float:],
+            combined,
         )
 
     def fill(self, buf_f: np.ndarray, buf_i: np.ndarray, problem_np):
@@ -90,25 +97,31 @@ class PackedLayout:
                 buf_i[off:off + n] = a.ravel().astype(np.int32)
 
     # ---------------- device side (traced) ----------------
-    def unflatten(self, flat_f: jnp.ndarray, flat_i: jnp.ndarray) -> WindowProblem:
+    def unflatten(self, flat_all: jnp.ndarray) -> WindowProblem:
+        """Rebuild the WindowProblem from the single combined upload:
+        [float section | int-as-float section]. Int leaves truncate back
+        exactly (all packed ints are < 2^24 in magnitude)."""
+        flat_f = flat_all[: self.n_float]
+        flat_i = flat_all[self.n_float:]
         leaves = []
         for kind, off, n, shape, dtype in self.specs:
-            if kind == "f":
-                x = jax.lax.dynamic_slice_in_dim(flat_f, off, n)
-                x = x.reshape(shape).astype(dtype)
-            else:
-                x = jax.lax.dynamic_slice_in_dim(flat_i, off, n)
-                x = x.reshape(shape).astype(dtype)
+            src = flat_f if kind == "f" else flat_i
+            x = jax.lax.dynamic_slice_in_dim(src, off, n)
+            if kind == "i" and not jnp.issubdtype(dtype, jnp.floating):
+                # float->int truncation is exact for the packed values;
+                # round first so a future low-precision carrier can't
+                # flip a mask bit via 0.9999...
+                x = jnp.round(x)
+            x = x.reshape(shape).astype(dtype)
             leaves.append(x)
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
 
 
-# no donation: the flat inputs arrive as host numpy (donating a host
-# array is a no-op and just triggers warnings); they are tiny anyway
+# no donation: the flat input arrives as host numpy (donating a host
+# array is a no-op and just triggers warnings); it is tiny anyway
 @functools.partial(jax.jit, static_argnames=("layout", "config"))
 def solve_packed(
-    flat_f: jnp.ndarray,
-    flat_i: jnp.ndarray,
+    flat_all: jnp.ndarray,
     cameras,
     imu_params,
     layout: PackedLayout,
@@ -116,8 +129,9 @@ def solve_packed(
 ):
     """One dispatch: unflatten -> LM solve -> ONE flat output array
     (pose | speed_bias | landmarks | extrinsics | 4 stats scalars), so
-    the caller pays a single readback over the tunnel."""
-    problem = layout.unflatten(flat_f, flat_i)
+    the caller pays a single upload and a single readback over the
+    tunnel."""
+    problem = layout.unflatten(flat_all)
     solved, stats = solve_window_impl(problem, cameras, imu_params, config)
     dtype = solved.pose.dtype
     out = jnp.concatenate([
@@ -185,8 +199,7 @@ def _append_matches(
 
 @functools.partial(jax.jit, static_argnames=("layout", "config"))
 def solve_packed_fused(
-    flat_f: jnp.ndarray,
-    flat_i: jnp.ndarray,
+    flat_all: jnp.ndarray,
     idx: jnp.ndarray,
     keep: jnp.ndarray,
     xy: jnp.ndarray,
@@ -201,14 +214,20 @@ def solve_packed_fused(
     frame's device-resident match rows, solve, and return ONE flat
     array [solve_out | frontend diag] — the frame's single (lagged)
     readback carries both. The landmark slot map / weight scales /
-    current slot / obs base ride the trailing aux regions of the two
-    flat uploads (see PackedLayout)."""
+    current slot / obs base ride the trailing aux regions of the ONE
+    flat upload (see PackedLayout)."""
     cap = idx.shape[1]
+    flat_f = flat_all[: layout.n_float]
+    flat_i = flat_all[layout.n_float:]
     w_scale = flat_f[layout.aux_f_off:layout.aux_f_off + cap]
-    lm_slot_map = flat_i[layout.aux_i_off:layout.aux_i_off + cap]
-    cur_slot = flat_i[layout.aux_i_off + cap]
-    n_obs_base = flat_i[layout.aux_i_off + cap + 1]
-    problem = layout.unflatten(flat_f, flat_i)
+    lm_slot_map = jnp.round(
+        flat_i[layout.aux_i_off:layout.aux_i_off + cap]
+    ).astype(jnp.int32)
+    cur_slot = jnp.round(flat_i[layout.aux_i_off + cap]).astype(jnp.int32)
+    n_obs_base = jnp.round(
+        flat_i[layout.aux_i_off + cap + 1]
+    ).astype(jnp.int32)
+    problem = layout.unflatten(flat_all)
     problem = _append_matches(
         problem, idx, keep, xy, size, lm_slot_map, w_scale,
         cur_slot, n_obs_base,
