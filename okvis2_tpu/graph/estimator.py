@@ -894,11 +894,17 @@ class Estimator:
             w_scale = buf_f[layout.aux_f_off:layout.aux_f_off + cap]
             w_scale[:] = 1.0
             lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
-            for lid, s in table.slot_of.items():
+            # map through the slot assignment AS OF THE FRONTEND
+            # DISPATCH (pipelined loop: bookkeeping between dispatch and
+            # this pack can release/reallocate table slots; the match
+            # rows index the old assignment)
+            slot_of = ctx.get("slot_of") or table.slot_of
+            for lid, s in slot_of.items():
                 i = lm_index.get(lid)
-                if i is not None:
+                lm = self.landmarks.get(lid)
+                if i is not None and lm is not None:
                     lm_slot_map[s] = i
-                    w_scale[s] = np.sqrt(self.landmarks[lid].info_scale)
+                    w_scale[s] = np.sqrt(lm.info_scale)
             buf_i[layout.aux_i_off + cap] = self._slot_of[ctx["sid"]]
             buf_i[layout.aux_i_off + cap + 1] = self._n_obs_packed
 

@@ -27,6 +27,7 @@ evaluation time; callers can re-preintegrate when the deviation grows
 
 from __future__ import annotations
 
+import math
 import dataclasses
 
 import jax
@@ -434,15 +435,19 @@ def preintegrate_np(params, gyro, accel, dt, bg, ba):
     bg = np.asarray(bg, np.float64)
     ba = np.asarray(ba, np.float64)
 
+    # The scan below runs ~2x per frame on the host critical path
+    # (new-state segment + marginalisation-merged segment); per-element
+    # numpy scalar calls dominated its cost, so the step reuses
+    # preallocated buffers and inlines the skew products — the
+    # arithmetic (values and operation order) is unchanged.
     def cross(v):
-        return np.array([
-            [0.0, -v[2], v[1]],
-            [v[2], 0.0, -v[0]],
-            [-v[1], v[0], 0.0],
-        ])
+        K = np.zeros((3, 3))
+        K[0, 1] = -v[2]; K[0, 2] = v[1]
+        K[1, 0] = v[2]; K[1, 2] = -v[0]
+        K[2, 0] = -v[1]; K[2, 1] = v[0]
+        return K
 
-    def right_jacobian(phi):
-        ang = np.linalg.norm(phi)
+    def right_jacobian(phi, ang):
         K = cross(phi)
         if ang < 1e-8:
             return np.eye(3) - 0.5 * K
@@ -467,15 +472,35 @@ def preintegrate_np(params, gyro, accel, dt, bg, ba):
     s_gw = float(params.sigma_gw_c)
     s_aw = float(params.sigma_aw_c)
 
+    # F's constant blocks are written once; only the varying sub-blocks
+    # are overwritten per step (their previous values are fully
+    # replaced, so reuse is exact)
+    F = np.zeros((15, 15))
+    F[0:3, 0:3] = eye3
+    F[3:6, 3:6] = eye3
+    F[6:9, 6:9] = eye3
+    F[9:12, 9:12] = eye3
+    F[12:15, 12:15] = eye3
+    noise_base = np.concatenate([
+        np.full(3, s_a * s_a),  # x0.25*h*h per step (position channel)
+        np.full(3, s_g * s_g),
+        np.full(3, s_a * s_a),
+        np.full(3, s_gw * s_gw),
+        np.full(3, s_aw * s_aw),
+    ])
+    dq = np.empty(4)
+
     for k in range(len(dt)):
-        h = dt[k]
+        h = float(dt[k])
         if h <= 0.0:
             continue
         w = gyro[k] - bg
         a = accel[k] - ba
         half = 0.5 * w * h
-        ang = np.linalg.norm(half)
-        dq = np.concatenate([half * np.sinc(ang / np.pi), [np.cos(ang)]])
+        ang = math.sqrt(half[0] * half[0] + half[1] * half[1]
+                        + half[2] * half[2])
+        dq[:3] = half * np.sinc(ang / np.pi)
+        dq[3] = math.cos(ang)
         q1 = se3_np.quat_mul(q, dq)
         C = se3_np.quat_to_mat(q)
         C1 = se3_np.quat_to_mat(q1)
@@ -483,49 +508,40 @@ def preintegrate_np(params, gyro, accel, dt, bg, ba):
         C1a = C1 @ a
         half_sum_C = 0.5 * (C + C1)
 
-        acc_dint = acc_dint + acc_int * h + 0.25 * (Ca + C1a) * h * h
-        acc_int = acc_int + 0.5 * (Ca + C1a) * h
-        c_dint = c_dint + c_int * h + 0.5 * half_sum_C * h * h
+        CaC1a = Ca + C1a
+        acc_dint = acc_dint + acc_int * h + (0.25 * h * h) * CaC1a
+        acc_int = acc_int + (0.5 * h) * CaC1a
+        c_dint = c_dint + c_int * h + (0.5 * h * h) * half_sum_C
         c_int = c_int + half_sum_C * h
 
-        Jr = right_jacobian(w * h)
-        d_a_bg1 = d_a_bg - C1 @ Jr * h
+        Jr = right_jacobian(w * h, 2.0 * ang)
+        C1Jr = C1 @ Jr
+        d_a_bg1 = d_a_bg - C1Jr * h
         cross_k = -cross(Ca) @ d_a_bg
         cross_k1 = -cross(C1a) @ d_a_bg1
-        d_p_bg = d_p_bg + h * d_v_bg + 0.25 * h * h * (cross_k + cross_k1)
-        d_v_bg = d_v_bg + 0.5 * h * (cross_k + cross_k1)
+        ck_sum = cross_k + cross_k1
+        d_p_bg = d_p_bg + h * d_v_bg + (0.25 * h * h) * ck_sum
+        d_v_bg = d_v_bg + (0.5 * h) * ck_sum
         d_a_bg = d_a_bg1
 
         F_va = -0.5 * h * (cross(Ca) + cross(C1a))
-        F_v_bg = 0.25 * h * h * (cross(C1a) @ (C1 @ Jr))
+        F_v_bg = 0.25 * h * h * (cross(C1a) @ C1Jr)
         F_v_ba = -half_sum_C * h
-        F_a_bg = -C1 @ Jr * h
+        F_a_bg = -C1Jr * h
 
-        F = np.zeros((15, 15))
-        F[0:3, 0:3] = eye3
         F[0:3, 3:6] = 0.5 * h * F_va
         F[0:3, 6:9] = eye3 * h
         F[0:3, 9:12] = 0.5 * h * F_v_bg
         F[0:3, 12:15] = 0.5 * h * F_v_ba
-        F[3:6, 3:6] = eye3
         F[3:6, 9:12] = F_a_bg
         F[6:9, 3:6] = F_va
-        F[6:9, 6:9] = eye3
         F[6:9, 9:12] = F_v_bg
         F[6:9, 12:15] = F_v_ba
-        F[9:12, 9:12] = eye3
-        F[12:15, 12:15] = eye3
 
         P = F @ P @ F.T
-        s2_a = s_g * s_g * h
-        s2_v = s_a * s_a * h
-        P += np.diag(np.concatenate([
-            np.full(3, 0.25 * h * h * s2_v),
-            np.full(3, s2_a),
-            np.full(3, s2_v),
-            np.full(3, s_gw * s_gw * h),
-            np.full(3, s_aw * s_aw * h),
-        ]))
+        noise = noise_base * h
+        noise[0:3] *= 0.25 * h * h
+        P.flat[::16] += noise
         q = q1
 
     P = 0.5 * (P + P.T)

@@ -1001,6 +1001,11 @@ class Frontend:
             "sid": sid, "diag": diag, "stacked": stacked,
             "match": match, "do_ms": do_ms, "top_ids": top_ids,
             "NC": NC, "N": N, "cap": cap, "KF": KF,
+            # the match rows reference table slots AS OF THIS DISPATCH;
+            # the fused solve may pack after later bookkeeping has
+            # released/reallocated slots (pipelined loop), so it must
+            # map slots through this snapshot, not the live table
+            "slot_of": dict(table.slot_of),
         }
 
     def finish_frame(self, estimator: Estimator, ctx, diag: np.ndarray):
@@ -1072,12 +1077,26 @@ class Frontend:
         # keyframe<->current matches, apparent parallax is spurious
         n_ms = 0
         if do_ms and rot_frac < cfg.rotation_only_veto:
+            # host-side dedup: the device excluded keypoints that were
+            # observed as of the DISPATCH; with the dispatch-first
+            # pipelined order, bookkeeping between dispatch and this
+            # finish can have inserted observations on the keyframe or
+            # current keypoints since — never double-host a keypoint
+            used_of = {
+                s2: {(c2, k2)
+                     for (_l, c2, k2) in estimator.obs_of_state(s2)}
+                for s2 in set(top_ids) | {sid}
+            }
             for r in ms_rows[ms_rows[:, 7] > 0.5]:
                 k, ci = divmod(int(r[0]), NC)
                 if k >= len(top_ids):
                     continue
                 kid = top_ids[k]
                 a, b = int(r[1]), int(r[2])
+                if (ci, a) in used_of[kid] or (ci, b) in used_of[sid]:
+                    continue
+                used_of[kid].add((ci, a))
+                used_of[sid].add((ci, b))
                 fa = self._kf_store[kid][ci]
                 fr = frames[ci]
                 lid = estimator.add_landmark(r[3:7], initialised=True)
@@ -1588,29 +1607,35 @@ def _stereo_motion_device(
 
 
 def _hull_area(pts: np.ndarray) -> float:
-    """Convex-hull area of 2D points (Andrew monotone chain + shoelace)."""
-    pts = np.unique(np.asarray(pts, np.float64), axis=0)
-    if len(pts) < 3:
-        return 0.0
-    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    """Convex-hull area of 2D points (Andrew monotone chain + shoelace).
 
-    def cross2(a, b):
-        return a[0] * b[1] - a[1] * b[0]
+    Python-scalar math throughout: this runs per camera per frame in
+    the keyframe heuristic, and per-element numpy scalar ops in the
+    chain loop measured ~25 ms/frame (tuple floats: ~1 ms)."""
+    seq = sorted(set(map(tuple, np.asarray(pts, np.float64).tolist())))
+    if len(seq) < 3:
+        return 0.0
 
     def half(seq):
         h = []
         for p in seq:
-            while len(h) >= 2 and cross2(h[-1] - h[-2], p - h[-2]) <= 0:
-                h.pop()
+            px, py = p
+            while len(h) >= 2:
+                x1, y1 = h[-2]
+                x2, y2 = h[-1]
+                if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) <= 0:
+                    h.pop()
+                else:
+                    break
             h.append(p)
         return h
 
-    lower = half(pts)
-    upper = half(pts[::-1])
-    hull = np.asarray(lower[:-1] + upper[:-1])
+    hull = half(seq)[:-1] + half(seq[::-1])[:-1]
     if len(hull) < 3:
         return 0.0
-    x, y = hull[:, 0], hull[:, 1]
-    return 0.5 * abs(
-        float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
-    )
+    area = 0.0
+    x1, y1 = hull[-1]
+    for (x2, y2) in hull:
+        area += x1 * y2 - y1 * x2
+        x1, y1 = x2, y2
+    return 0.5 * abs(area)

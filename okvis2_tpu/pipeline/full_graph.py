@@ -824,6 +824,9 @@ class LoopClosureBackend:
             rel_mask=r_m,
         )
         prob = jax.tree_util.tree_map(jnp.asarray, prob)
+        # used-vs-capacity counts for the growth-step prewarm (host
+        # values: reading the device masks back would cost RPCs)
+        self._last_pack_counts = (len(ids), len(lm_ids), n_obs, n_rel)
         return prob, ids, slot_of, lm_ids
 
     def optimise_full_graph(self, estimator: Estimator):
@@ -860,16 +863,19 @@ class LoopClosureBackend:
             "L": int(prob.landmarks.shape[0]), "newest": ids[-1],
         }
         # pre-warm the NEXT pow2 problem shape in the background once
-        # this one is nearly full, so the growth step never pays a
-        # foreground (remote) compile stall
-        if len(ids) > 0.75 * prob.pose.shape[0]:
-            self.prewarm_shapes_async(
-                estimator,
-                2 * prob.pose.shape[0],
-                prob.landmarks.shape[0],
-                prob.obs_mask.shape[0],
-                prob.rel_mask.shape[0],
-            )
+        # ANY capacity dimension is nearly full (each of S/L/O/R grows
+        # independently and any growth is a fresh XLA compile), so the
+        # growth step never pays a foreground (remote) compile stall
+        caps = (
+            prob.pose.shape[0], prob.landmarks.shape[0],
+            prob.obs_mask.shape[0], prob.rel_mask.shape[0],
+        )
+        used = self._last_pack_counts
+        nxt = tuple(
+            2 * c if u > 0.75 * c else c for u, c in zip(used, caps)
+        )
+        if nxt != caps:
+            self.prewarm_shapes_async(estimator, *nxt)
 
     def apply_pending_full_graph(self, estimator: Estimator):
         """Integrate a dispatched full-graph solve. States that joined

@@ -274,26 +274,35 @@ class SlamSystem:
         return self._process_frame_sync()
 
     def _process_frame_pipelined(self) -> bool:
-        """Phase-B frame loop (see __init__): finish the previous
-        frame's lagged output, then dispatch this frame's fused
-        frontend + device-append + solve chain without ANY readback."""
+        """Phase-B frame loop (see __init__): dispatch this frame's
+        fused frontend program FIRST (the device crunches it while the
+        host finishes the previous frame — and the previous frame's
+        [solve|diag] copy gets the dispatch-prep time to finish
+        crossing the tunnel before the join), then do the lagged
+        bookkeeping, refresh the prediction with the just-applied
+        solve, and dispatch the fused solve."""
         if not self._image_queue:
             return False
         from okvis2_tpu.utils.timing import SwitchableTimer
 
-        with SwitchableTimer("0 finish previous frame"):
-            self._finish_pending()
         t, images, images_dev = self._image_queue.popleft()
         est = self.estimator
         imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
         self._last_frame_t = t
+        # one-solve-stale prediction (the previous frame's solve has not
+        # been applied yet); the match gates tolerate the staleness and
+        # repredict_from_previous refreshes it before the pack
         sid = est.add_state(t, imu_w, imu_a, imu_dt)
-        T_WS_pred7 = est.states[sid].pose  # fresh: prev solve applied
+        T_WS_pred7 = est.states[sid].pose
 
         with SwitchableTimer("1 frontend dispatch"):
             ctx = self.frontend.dispatch_frame(
                 est, images, sid, T_WS_pred7, images_dev=images_dev
             )
+        with SwitchableTimer("0 finish previous frame"):
+            self._finish_pending()
+        with SwitchableTimer("0.4 repredict"):
+            est.repredict_from_previous(sid)
         # the device crunches detection/matching while the host packs
         with SwitchableTimer("3 pack + fused solve dispatch"):
             out = est.dispatch_fused_solve(ctx, self.frontend.table)
