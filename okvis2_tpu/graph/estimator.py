@@ -852,23 +852,17 @@ class Estimator:
             self._packed_bufs = layout.make_buffers()
         return layout
 
-    def dispatch_fused_solve(self, ctx, table,
-                             iterations: Optional[int] = None):
-        """Phase-B realtime solve: pack the window WITHOUT the current
-        frame's matches (the host hasn't seen them — no readback
-        happened), and dispatch a solve that appends the match rows ON
-        DEVICE straight from the fused frontend program's outputs. The
-        returned flat device array is [solve_out | frontend diag];
-        its host copy starts immediately and is consumed at the START
-        of the next frame (slam.py pipelined loop), so steady-state
-        frames block on a transfer that has had a whole frame to cross
-        the tunnel. Reference analogue: the detect/optimise overlap of
-        ThreadedSlam.cpp:466-469, 551-552, with the matcher->solver
-        hand-off never leaving the device."""
-        import time as _time
-
-        from okvis2_tpu.solver.packed_solve import solve_packed_fused
-
+    def prepare_fused_solve(self, sid: int, table,
+                            iterations: Optional[int] = None,
+                            slot_of=None):
+        """Host half of the Phase-B realtime solve: decide the
+        iteration budget, pack the window WITHOUT the current frame's
+        matches (the host hasn't seen them — no readback happened) into
+        the flat carrier buffers, and write the Phase-B side-channel
+        aux regions (landmark-table slot map, weight scales, current
+        window slot, packed-obs base). Returns (layout, cfg, buf_all);
+        buf_all's bytes are embedded into the pipelined frame's single
+        upload, or uploaded on their own by dispatch_fused_solve."""
         cfg = self._solver_cfg
         if iterations is None and self.cfg.enforce_realtime:
             if getattr(self, "_last_solve_wall", 0.0) \
@@ -895,19 +889,41 @@ class Estimator:
             w_scale[:] = 1.0
             lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
             # map through the slot assignment AS OF THE FRONTEND
-            # DISPATCH (pipelined loop: bookkeeping between dispatch and
-            # this pack can release/reallocate table slots; the match
-            # rows index the old assignment)
-            slot_of = ctx.get("slot_of") or table.slot_of
+            # DISPATCH (the match rows index that assignment; any
+            # bookkeeping since can have released/reallocated slots)
+            if slot_of is None:
+                slot_of = table.slot_of
             for lid, s in slot_of.items():
                 i = lm_index.get(lid)
                 lm = self.landmarks.get(lid)
                 if i is not None and lm is not None:
                     lm_slot_map[s] = i
                     w_scale[s] = np.sqrt(lm.info_scale)
-            buf_i[layout.aux_i_off + cap] = self._slot_of[ctx["sid"]]
+            buf_i[layout.aux_i_off + cap] = self._slot_of[sid]
             buf_i[layout.aux_i_off + cap + 1] = self._n_obs_packed
+        return layout, cfg, buf_all
 
+    def dispatch_fused_solve(self, ctx, table,
+                             iterations: Optional[int] = None):
+        """Phase-B realtime solve (own-upload path): pack the window
+        and dispatch a solve that appends the match rows ON DEVICE
+        straight from the fused frontend program's outputs. The
+        returned flat device array is [solve_out | frontend diag];
+        its host copy starts immediately and is consumed at the START
+        of the next frame (slam.py pipelined loop), so steady-state
+        frames block on a transfer that has had a whole frame to cross
+        the tunnel. Reference analogue: the detect/optimise overlap of
+        ThreadedSlam.cpp:466-469, 551-552, with the matcher->solver
+        hand-off never leaving the device."""
+        import time as _time
+
+        from okvis2_tpu.solver.packed_solve import solve_packed_fused
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
+        layout, cfg, buf_all = self.prepare_fused_solve(
+            ctx["sid"], table, iterations=iterations,
+            slot_of=ctx.get("slot_of"),
+        )
         self._solve_t0 = _time.perf_counter()
         m = ctx["match"]
         with SwitchableTimer("3.2 solve dispatch"):
@@ -915,6 +931,31 @@ class Estimator:
                 buf_all, m["idx"], m["keep"], m["xy"], m["size"],
                 ctx["diag"],
                 self.cameras, self.imu_params, layout, cfg,
+            )
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return out
+
+    def dispatch_fused_solve_carrier(self, ctx, carrier_dev,
+                                     off_bytes: int, layout, cfg):
+        """Phase-B realtime solve reading the packed problem from the
+        frame's SINGLE carrier upload (pipelined loop); prepare_fused_
+        solve must have filled buf_all and the caller embedded its
+        bytes at `off_bytes` of the carrier."""
+        import time as _time
+
+        from okvis2_tpu.solver.packed_solve import solve_packed_fused_carrier
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
+        self._solve_t0 = _time.perf_counter()
+        m = ctx["match"]
+        with SwitchableTimer("3.2 solve dispatch"):
+            out = solve_packed_fused_carrier(
+                carrier_dev, m["idx"], m["keep"], m["xy"], m["size"],
+                ctx["diag"],
+                self.cameras, self.imu_params, off_bytes, layout, cfg,
             )
         try:
             out.copy_to_host_async()

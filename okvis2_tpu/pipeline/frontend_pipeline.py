@@ -155,17 +155,7 @@ def _associate_device(
     )
 
 
-@functools.partial(
-    jax.jit,
-    # the program folds the staged descriptor-table updates and returns
-    # the new table state; donating the old buffers avoids a 6 MB copy
-    donate_argnums=(3, 4),
-    static_argnames=(
-        "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
-        "do_motion_stereo", "gravity_aligned",
-    ),
-)
-def _frame_associate_device(
+def _frame_associate_body(
     cameras,
     images: jnp.ndarray,  # [NC,H,W] uint8
     aux: jnp.ndarray,  # [Nf+Ni] f32 flat: float section | int-as-float
@@ -405,6 +395,65 @@ def _frame_associate_device(
     # rows are appended on device without any host readback)
     match = {"idx": idx, "keep": keep, "xy": xy, "size": det["size"]}
     return diag, stacked, match, tab_signs, tab_valid
+
+
+@functools.partial(
+    jax.jit,
+    # the program folds the staged descriptor-table updates and returns
+    # the new table state; donating the old buffers avoids a 6 MB copy
+    donate_argnums=(3, 4),
+    static_argnames=(
+        "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
+        "do_motion_stereo", "gravity_aligned",
+    ),
+)
+def _frame_associate_device(
+    cameras, images, aux, tab_signs, tab_valid, prev_signs,
+    kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
+    min_inliers, use_ransac, do_motion_stereo, gravity_aligned=False,
+):
+    """Two-upload entry (uint8 images + float32 aux carrier): the
+    synchronous frame loop and tests."""
+    return _frame_associate_body(
+        cameras, images, aux, tab_signs, tab_valid, prev_signs,
+        kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
+        min_inliers, use_ransac, do_motion_stereo, gravity_aligned,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2, 3),
+    static_argnames=(
+        "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
+        "do_motion_stereo", "gravity_aligned", "img_shape", "n_aux",
+    ),
+)
+def _frame_associate_from_carrier(
+    cameras, carrier, tab_signs, tab_valid, prev_signs,
+    kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
+    min_inliers, use_ransac, do_motion_stereo, gravity_aligned,
+    img_shape=None, n_aux=0,
+):
+    """Single-carrier entry (pipelined loop): the frame's ENTIRE
+    host->device state — the uint8 image stack, the float32 frontend
+    aux section AND the packed realtime-solve problem — crosses the
+    tunnel as ONE upload RPC (each separate upload is its own
+    serialised ~tens-of-ms roundtrip). This program reads the first two
+    sections; the fused solve (solve_packed_fused_carrier) reads the
+    third from the SAME device buffer."""
+    NC, H, W = img_shape
+    nimg = NC * H * W
+    images = carrier[:nimg].reshape(NC, H, W)
+    # bitcast the float32 section back from its bytes (exact)
+    aux = jax.lax.bitcast_convert_type(
+        carrier[nimg:nimg + 4 * n_aux].reshape(-1, 4), jnp.float32
+    )
+    return _frame_associate_body(
+        cameras, images, aux, tab_signs, tab_valid, prev_signs,
+        kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
+        min_inliers, use_ransac, do_motion_stereo, gravity_aligned,
+    )
 
 
 def _stereo_pair(
@@ -822,16 +871,16 @@ class Frontend:
         diag_np = np.asarray(ctx["diag"])  # the frame's ONE readback
         return self.finish_frame(estimator, ctx, diag_np)
 
-    def dispatch_frame(self, estimator: Estimator, images, sid: int,
-                       T_WS_pred7: np.ndarray, extra_flat=None,
-                       images_dev=None):
-        """Prep + the fused frontend dispatch, NO readback. Returns a
-        ctx dict holding the device handles (diag, stacked detection
-        arrays, match tensors for the Phase-B device-side observation
-        append) and the host-side decode context. `images_dev`
-        optionally supplies the already-uploaded uint8 image stack
-        (pre-upload at add_images time overlaps the frame's biggest
-        transfer with the previous frame's bookkeeping)."""
+    def prepare_frame(self, estimator: Estimator, images, sid: int,
+                      T_WS_pred7: np.ndarray):
+        """Host-side prep for the fused frontend program: stack/quantise
+        the images, fill the flat aux carrier (predicted pose,
+        extrinsics, landmark-table state, top-K keyframe stacks, staged
+        descriptor-table updates) and resolve the device-side keyframe
+        stacks. NO uploads happen here: the caller either embeds
+        `imgs_u8` + `aux_all` into the frame's single carrier upload
+        (dispatch_prepared, pipelined loop) or uploads them separately
+        (dispatch_frame)."""
         from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
 
         cfg = self.cfg
@@ -843,15 +892,13 @@ class Frontend:
         table = self.table
         NC = len(self.cameras)
         N = cfg.detection.max_keypoints
-        if images_dev is None:
-            imgs = np.stack(images)
-            if imgs.dtype != np.uint8:
-                # quantise on host: the upload is 4x smaller and the
-                # device widens back to float32 (EuRoC is uint8 natively)
-                imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
-                    np.uint8
-                )
-            images_dev = jnp.asarray(imgs)
+        imgs = np.stack(images)
+        if imgs.dtype != np.uint8:
+            # quantise on host: the upload is 4x smaller and the
+            # device widens back to float32 (EuRoC is uint8 natively)
+            imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
+                np.uint8
+            )
         fdtype = np.float32  # device compute dtype after widening
         table.ensure(DESCRIPTOR_BITS, fdtype)
 
@@ -962,33 +1009,31 @@ class Frontend:
                 self._prev_signs_zero = zp
             prev_signs = zp
 
-        if extra_flat is None:
-            extra_dev = getattr(self, "_zero_extra", None)
-            if extra_dev is None:
-                extra_dev = jnp.zeros(0, jnp.float32)
-                self._zero_extra = extra_dev
-        else:
-            extra_dev = jnp.asarray(extra_flat)
+        return {
+            "sid": sid, "imgs_u8": imgs, "aux_all": aux_all,
+            "do_ms": do_ms, "top_ids": top_ids,
+            "prev_signs": prev_signs,
+            "kf_xy_dev": kf_xy_dev, "kf_signs_dev": kf_signs_dev,
+            "NC": NC, "N": N, "cap": cap, "KF": KF,
+            # the match rows will reference table slots AS OF THIS PREP
+            # (nothing mutates the table between prep and dispatch);
+            # later bookkeeping may release/reallocate slots, so
+            # downstream consumers map through this snapshot
+            "slot_of": dict(table.slot_of),
+        }
 
-        diag, stacked, match, new_signs, new_valid = \
-            _frame_associate_device(
-            self.cameras,
-            images_dev,
-            jnp.asarray(aux_all),
-            table.signs,
-            table.valid,
-            prev_signs,
-            kf_xy_dev,
-            kf_signs_dev,
-            extra_dev,
-            cfg.detection,
-            cfg.matching_threshold,
-            cfg.ransac_hypotheses,
-            cfg.ransac_min_inliers,
-            cfg.use_ransac,
-            do_ms,
-            cfg.gravity_aligned_description,
-        )
+    def _zero_extra_dev(self):
+        extra_dev = getattr(self, "_zero_extra", None)
+        if extra_dev is None:
+            extra_dev = jnp.zeros(0, jnp.float32)
+            self._zero_extra = extra_dev
+        return extra_dev
+
+    def _adopt_dispatch(self, prep, diag, stacked, match,
+                        new_signs, new_valid):
+        """Shared dispatch postlude: adopt the program's folded
+        descriptor-table state and build the frame ctx."""
+        table = self.table
         # the program applied the folded staged updates — adopt its
         # table state as the resident one
         table.signs = new_signs
@@ -998,15 +1043,78 @@ class Frontend:
             # reference the staged signs, so the source can go)
             self._staged_signs_dev = None
         return {
-            "sid": sid, "diag": diag, "stacked": stacked,
-            "match": match, "do_ms": do_ms, "top_ids": top_ids,
-            "NC": NC, "N": N, "cap": cap, "KF": KF,
-            # the match rows reference table slots AS OF THIS DISPATCH;
-            # the fused solve may pack after later bookkeeping has
-            # released/reallocated slots (pipelined loop), so it must
-            # map slots through this snapshot, not the live table
-            "slot_of": dict(table.slot_of),
+            "sid": prep["sid"], "diag": diag, "stacked": stacked,
+            "match": match, "do_ms": prep["do_ms"],
+            "top_ids": prep["top_ids"],
+            "NC": prep["NC"], "N": prep["N"], "cap": prep["cap"],
+            "KF": prep["KF"], "slot_of": prep["slot_of"],
         }
+
+    def dispatch_prepared(self, prep, carrier_dev):
+        """Fused frontend dispatch reading the image + aux sections of
+        the frame's SINGLE carrier upload (pipelined loop)."""
+        cfg = self.cfg
+        diag, stacked, match, new_signs, new_valid = \
+            _frame_associate_from_carrier(
+                self.cameras,
+                carrier_dev,
+                self.table.signs,
+                self.table.valid,
+                prep["prev_signs"],
+                prep["kf_xy_dev"],
+                prep["kf_signs_dev"],
+                self._zero_extra_dev(),
+                cfg.detection,
+                cfg.matching_threshold,
+                cfg.ransac_hypotheses,
+                cfg.ransac_min_inliers,
+                cfg.use_ransac,
+                prep["do_ms"],
+                cfg.gravity_aligned_description,
+                img_shape=prep["imgs_u8"].shape,
+                n_aux=int(prep["aux_all"].size),
+            )
+        return self._adopt_dispatch(prep, diag, stacked, match,
+                                    new_signs, new_valid)
+
+    def dispatch_frame(self, estimator: Estimator, images, sid: int,
+                       T_WS_pred7: np.ndarray, extra_flat=None,
+                       images_dev=None):
+        """Prep + the fused frontend dispatch, NO readback (two-upload
+        path: the synchronous loop and tests). Returns a ctx dict
+        holding the device handles (diag, stacked detection arrays,
+        match tensors for the Phase-B device-side observation append)
+        and the host-side decode context. `images_dev` optionally
+        supplies an already-uploaded uint8 image stack."""
+        prep = self.prepare_frame(estimator, images, sid, T_WS_pred7)
+        cfg = self.cfg
+        if images_dev is None:
+            images_dev = jnp.asarray(prep["imgs_u8"])
+        if extra_flat is None:
+            extra_dev = self._zero_extra_dev()
+        else:
+            extra_dev = jnp.asarray(extra_flat)
+        diag, stacked, match, new_signs, new_valid = \
+            _frame_associate_device(
+                self.cameras,
+                images_dev,
+                jnp.asarray(prep["aux_all"]),
+                self.table.signs,
+                self.table.valid,
+                prep["prev_signs"],
+                prep["kf_xy_dev"],
+                prep["kf_signs_dev"],
+                extra_dev,
+                cfg.detection,
+                cfg.matching_threshold,
+                cfg.ransac_hypotheses,
+                cfg.ransac_min_inliers,
+                cfg.use_ransac,
+                prep["do_ms"],
+                cfg.gravity_aligned_description,
+            )
+        return self._adopt_dispatch(prep, diag, stacked, match,
+                                    new_signs, new_valid)
 
     def finish_frame(self, estimator: Estimator, ctx, diag: np.ndarray):
         """Decode the fused program's flat diagnostics and do the host

@@ -57,14 +57,17 @@ class SlamSystem:
         cnn_params=None,
         pipelined: bool = False,
     ):
-        # Phase-B pipelined frame loop: ZERO blocking readbacks per
-        # steady-state frame. The fused frontend program's match rows
-        # are appended to the packed window problem ON DEVICE and solved
-        # in the same dispatch chain; the combined [solve | diag] output
-        # is consumed at the START of the next frame, after its copy has
-        # had a whole frame period to cross the tunnel. Host bookkeeping
-        # (observation insertion, keyframe work, loop closure,
-        # marginalisation) runs one frame behind the device.
+        # Phase-B pipelined frame loop: ZERO blocking readbacks AND a
+        # single upload RPC per steady-state frame. The frame's entire
+        # host->device state (uint8 images | frontend aux | packed
+        # solve problem) crosses the tunnel as ONE carrier buffer; the
+        # fused frontend program's match rows are appended to the
+        # packed window problem ON DEVICE and solved in the same
+        # dispatch chain; the combined [solve | diag] output is
+        # consumed at the START of the next frame, after its copy has
+        # had a whole frame period to cross the tunnel. Host
+        # bookkeeping (observation insertion, keyframe work, loop
+        # closure, marginalisation) runs one frame behind the device.
         self.pipelined = pipelined
         self._pending_frame = None
         self.estimator = Estimator(
@@ -101,6 +104,7 @@ class SlamSystem:
         self._image_queue: Deque[Tuple[float, List[np.ndarray]]] = (
             collections.deque()
         )
+        self._carrier_np: Optional[np.ndarray] = None
         self._last_frame_t: Optional[float] = None
         self._callbacks: List[Callable] = []
         self.tracking = TrackingState()
@@ -124,21 +128,7 @@ class SlamSystem:
         return True
 
     def add_images(self, t: float, images: List[np.ndarray]) -> bool:
-        dev = None
-        if self.pipelined:
-            # start the frame's biggest upload (~720 KB stereo) NOW:
-            # the transfer crosses the tunnel while the previous
-            # frame's finish/bookkeeping runs, instead of serialising
-            # inside process_frame
-            import jax.numpy as jnp
-
-            imgs = np.stack(images)
-            if imgs.dtype != np.uint8:
-                imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
-                    np.uint8
-                )
-            dev = jnp.asarray(imgs)
-        self._image_queue.append((float(t), images, dev))
+        self._image_queue.append((float(t), images))
         return True
 
     def add_depth_image(self, t: float, depth: np.ndarray,
@@ -274,38 +264,58 @@ class SlamSystem:
         return self._process_frame_sync()
 
     def _process_frame_pipelined(self) -> bool:
-        """Phase-B frame loop (see __init__): dispatch this frame's
-        fused frontend program FIRST (the device crunches it while the
-        host finishes the previous frame — and the previous frame's
-        [solve|diag] copy gets the dispatch-prep time to finish
-        crossing the tunnel before the join), then do the lagged
-        bookkeeping, refresh the prediction with the just-applied
-        solve, and dispatch the fused solve."""
+        """Phase-B frame loop (see __init__), carrier edition: finish
+        the PREVIOUS frame first (its [solve|diag] host copy has been
+        crossing the tunnel in the background for a whole frame), then
+        predict from the refreshed state, assemble the frame's ENTIRE
+        host->device state — the uint8 image stack, the frontend aux
+        section and the packed realtime-solve problem — into ONE
+        carrier buffer, upload it with a SINGLE RPC, and dispatch the
+        fused frontend + fused solve programs against it. Steady-state
+        frames cost zero blocking readbacks and exactly one upload on
+        the serialised tunnel."""
         if not self._image_queue:
             return False
         from okvis2_tpu.utils.timing import SwitchableTimer
 
-        t, images, images_dev = self._image_queue.popleft()
+        t, images = self._image_queue.popleft()
         est = self.estimator
-        imu_w, imu_a, imu_dt = self._gather_imu(self._last_frame_t, t)
-        self._last_frame_t = t
-        # one-solve-stale prediction (the previous frame's solve has not
-        # been applied yet); the match gates tolerate the staleness and
-        # repredict_from_previous refreshes it before the pack
-        sid = est.add_state(t, imu_w, imu_a, imu_dt)
-        T_WS_pred7 = est.states[sid].pose
-
-        with SwitchableTimer("1 frontend dispatch"):
-            ctx = self.frontend.dispatch_frame(
-                est, images, sid, T_WS_pred7, images_dev=images_dev
-            )
         with SwitchableTimer("0 finish previous frame"):
             self._finish_pending()
-        with SwitchableTimer("0.4 repredict"):
-            est.repredict_from_previous(sid)
-        # the device crunches detection/matching while the host packs
-        with SwitchableTimer("3 pack + fused solve dispatch"):
-            out = est.dispatch_fused_solve(ctx, self.frontend.table)
+        with SwitchableTimer("0.5 imu + predict"):
+            imu_w, imu_a, imu_dt = self._gather_imu(
+                self._last_frame_t, t
+            )
+            self._last_frame_t = t
+            # prediction is FRESH: the previous frame's solve was
+            # applied in _finish_pending above
+            sid = est.add_state(t, imu_w, imu_a, imu_dt)
+            T_WS_pred7 = est.states[sid].pose
+
+        with SwitchableTimer("1 prep (frontend aux + pack)"):
+            prep = self.frontend.prepare_frame(
+                est, images, sid, T_WS_pred7
+            )
+            layout, scfg, buf_all = est.prepare_fused_solve(
+                sid, self.frontend.table
+            )
+            imgs = prep["imgs_u8"]
+            n_img = imgs.nbytes
+            off_solve = n_img + prep["aux_all"].nbytes
+            total = off_solve + buf_all.nbytes
+            carrier = getattr(self, "_carrier_np", None)
+            if carrier is None or carrier.size != total:
+                carrier = np.empty(total, np.uint8)
+                self._carrier_np = carrier
+            carrier[:n_img] = imgs.reshape(-1)
+            carrier[n_img:off_solve] = prep["aux_all"].view(np.uint8)
+            carrier[off_solve:] = buf_all.view(np.uint8)
+        with SwitchableTimer("2 carrier upload + dispatches"):
+            carrier_dev = jnp.asarray(carrier)
+            ctx = self.frontend.dispatch_prepared(prep, carrier_dev)
+            out = est.dispatch_fused_solve_carrier(
+                ctx, carrier_dev, off_solve, layout, scfg
+            )
         # fetch the combined output in a BACKGROUND thread: numpy's
         # device->host conversion releases the GIL for the transfer, so
         # the RPC's ~50 ms round trip over the tunnel overlaps the next
@@ -379,7 +389,7 @@ class SlamSystem:
     def _process_frame_sync(self) -> bool:
         if not self._image_queue:
             return False
-        t, images, _dev = self._image_queue.popleft()
+        t, images = self._image_queue.popleft()
         est = self.estimator
 
         from okvis2_tpu.utils.timing import SwitchableTimer

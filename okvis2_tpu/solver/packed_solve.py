@@ -216,6 +216,48 @@ def solve_packed_fused(
     readback carries both. The landmark slot map / weight scales /
     current slot / obs base ride the trailing aux regions of the ONE
     flat upload (see PackedLayout)."""
+    return _solve_packed_fused_body(
+        flat_all, idx, keep, xy, size, diag, cameras, imu_params,
+        layout, config,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("off_bytes", "layout", "config")
+)
+def solve_packed_fused_carrier(
+    carrier: jnp.ndarray,
+    idx: jnp.ndarray,
+    keep: jnp.ndarray,
+    xy: jnp.ndarray,
+    size: jnp.ndarray,
+    diag: jnp.ndarray,
+    cameras,
+    imu_params,
+    off_bytes: int,
+    layout: PackedLayout,
+    config: SolverConfig,
+):
+    """Carrier entry: the packed problem rides the pipelined frame's
+    SINGLE uint8 upload (images | frontend aux | packed problem);
+    bitcast its byte section back to the carrier float dtype (exact)
+    and solve. See slam.py `_process_frame_pipelined`."""
+    nb = np.dtype(layout.float_dtype).itemsize
+    n = layout.n_float + layout.n_int
+    flat_all = jax.lax.bitcast_convert_type(
+        carrier[off_bytes:off_bytes + nb * n].reshape(-1, nb),
+        layout.float_dtype,
+    )
+    return _solve_packed_fused_body(
+        flat_all, idx, keep, xy, size, diag, cameras, imu_params,
+        layout, config,
+    )
+
+
+def _solve_packed_fused_body(
+    flat_all, idx, keep, xy, size, diag, cameras, imu_params,
+    layout: PackedLayout, config: SolverConfig,
+):
     cap = idx.shape[1]
     flat_f = flat_all[: layout.n_float]
     flat_i = flat_all[layout.n_float:]
