@@ -833,12 +833,20 @@ class Estimator:
     def _get_packed_layout(self, aux_cap: int = 0):
         """The flat-buffer layout (cached). aux_cap reserves trailing
         aux regions for the Phase-B side-channel (w_scale floats;
-        lm_slot_map + cur_slot + n_obs_base ints) so they ride the same
-        two uploads as the problem."""
-        from okvis2_tpu.solver.packed_solve import PackedLayout
+        MAX_APPEND_SETS per-frame slot maps + window slots +
+        n_obs_base ints) so they ride the same upload as the
+        problem."""
+        from okvis2_tpu.solver.packed_solve import (
+            MAX_APPEND_SETS,
+            PackedLayout,
+        )
 
         layout = getattr(self, "_packed_layout", None)
-        want = (aux_cap, aux_cap + 2 if aux_cap else 0)
+        want = (
+            aux_cap,
+            MAX_APPEND_SETS * aux_cap + MAX_APPEND_SETS + 1
+            if aux_cap else 0,
+        )
         if layout is None or (
             aux_cap and layout.key[-2:] != want
         ):
@@ -852,17 +860,23 @@ class Estimator:
             self._packed_bufs = layout.make_buffers()
         return layout
 
-    def prepare_fused_solve(self, sid: int, table,
-                            iterations: Optional[int] = None,
-                            slot_of=None):
+    def prepare_fused_solve(self, sid: int, table, sets,
+                            iterations: Optional[int] = None):
         """Host half of the Phase-B realtime solve: decide the
-        iteration budget, pack the window WITHOUT the current frame's
-        matches (the host hasn't seen them — no readback happened) into
-        the flat carrier buffers, and write the Phase-B side-channel
-        aux regions (landmark-table slot map, weight scales, current
-        window slot, packed-obs base). Returns (layout, cfg, buf_all);
-        buf_all's bytes are embedded into the pipelined frame's single
-        upload, or uploaded on their own by dispatch_fused_solve."""
+        iteration budget, pack the window from the host's (lagged)
+        bookkeeping state into the flat carrier buffers, and write the
+        Phase-B side-channel aux regions. `sets` lists the in-flight
+        frames whose match rows the device must append — every frame
+        whose [solve|diag] output the host has NOT consumed yet, oldest
+        first, ending with the current frame — as dicts
+        {"sid": state id, "slot_of": landmark-table slot assignment as
+        of that frame's dispatch}. Per-set slot maps + window slots and
+        the shared weight scales ride the carrier's trailing aux
+        regions (MAX_APPEND_SETS sets; unused sets disabled with an
+        all--1 map). Returns (layout, cfg, buf_all); buf_all's bytes
+        are embedded into the pipelined frame's single upload."""
+        from okvis2_tpu.solver.packed_solve import MAX_APPEND_SETS
+
         cfg = self._solver_cfg
         if iterations is None and self.cfg.enforce_realtime:
             if getattr(self, "_last_solve_wall", 0.0) \
@@ -873,6 +887,8 @@ class Estimator:
 
         from okvis2_tpu.utils.timing import SwitchableTimer
 
+        K = MAX_APPEND_SETS
+        assert len(sets) <= K, (len(sets), K)
         cap = table.capacity
         layout = self._get_packed_layout(aux_cap=cap)
         buf_f, buf_i, buf_all = self._packed_bufs
@@ -881,80 +897,64 @@ class Estimator:
             layout.fill(buf_f, buf_i, prob_np)
 
             # landmark-table slot -> this pack's solver landmark slot,
-            # written into the trailing aux regions of the two flat
-            # buffers (no extra upload RPCs)
-            lm_slot_map = buf_i[layout.aux_i_off:layout.aux_i_off + cap]
-            lm_slot_map[:] = -1
+            # one map per in-flight frame, written into the trailing
+            # aux regions of the flat carrier (no extra upload RPCs)
+            oi = layout.aux_i_off
+            maps = buf_i[oi:oi + K * cap].reshape(K, cap)
+            maps[:] = -1
+            cur_slots = buf_i[oi + K * cap:oi + K * cap + K]
+            cur_slots[:] = 0
             w_scale = buf_f[layout.aux_f_off:layout.aux_f_off + cap]
             w_scale[:] = 1.0
             lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
-            # map through the slot assignment AS OF THE FRONTEND
-            # DISPATCH (the match rows index that assignment; any
-            # bookkeeping since can have released/reallocated slots)
-            if slot_of is None:
-                slot_of = table.slot_of
-            for lid, s in slot_of.items():
-                i = lm_index.get(lid)
+            for lid, slot in table.slot_of.items():
                 lm = self.landmarks.get(lid)
-                if i is not None and lm is not None:
-                    lm_slot_map[s] = i
-                    w_scale[s] = np.sqrt(lm.info_scale)
-            buf_i[layout.aux_i_off + cap] = self._slot_of[sid]
-            buf_i[layout.aux_i_off + cap + 1] = self._n_obs_packed
+                if lm is not None:
+                    w_scale[slot] = np.sqrt(lm.info_scale)
+            for k, st in enumerate(sets):
+                if st["sid"] not in self._slot_of:
+                    # the frame's state left the window before its
+                    # bookkeeping ran — its matches can't constrain
+                    # anything anymore
+                    continue
+                mk = maps[k]
+                for lid, s in st["slot_of"].items():
+                    i = lm_index.get(lid)
+                    if i is not None and lid in self.landmarks:
+                        mk[s] = i
+                cur_slots[k] = self._slot_of[st["sid"]]
+            buf_i[oi + K * cap + K] = self._n_obs_packed
         return layout, cfg, buf_all
 
-    def dispatch_fused_solve(self, ctx, table,
-                             iterations: Optional[int] = None):
-        """Phase-B realtime solve (own-upload path): pack the window
-        and dispatch a solve that appends the match rows ON DEVICE
-        straight from the fused frontend program's outputs. The
-        returned flat device array is [solve_out | frontend diag];
-        its host copy starts immediately and is consumed at the START
-        of the next frame (slam.py pipelined loop), so steady-state
-        frames block on a transfer that has had a whole frame to cross
-        the tunnel. Reference analogue: the detect/optimise overlap of
+    def dispatch_fused_solve_carrier(self, match_sets, diag,
+                                     carrier_dev, off_bytes: int,
+                                     layout, cfg):
+        """Phase-B realtime solve reading the packed problem from the
+        frame's SINGLE carrier upload (pipelined loop). `match_sets`
+        are the in-flight frames' device-resident match tensors in the
+        SAME order as prepare_fused_solve's `sets` (padded to
+        MAX_APPEND_SETS with any tensors — their slot maps are -1).
+        Reference analogue: the detect/optimise overlap of
         ThreadedSlam.cpp:466-469, 551-552, with the matcher->solver
         hand-off never leaving the device."""
         import time as _time
 
-        from okvis2_tpu.solver.packed_solve import solve_packed_fused
-        from okvis2_tpu.utils.timing import SwitchableTimer
-
-        layout, cfg, buf_all = self.prepare_fused_solve(
-            ctx["sid"], table, iterations=iterations,
-            slot_of=ctx.get("slot_of"),
+        from okvis2_tpu.solver.packed_solve import (
+            MAX_APPEND_SETS,
+            solve_packed_fused_carrier,
         )
-        self._solve_t0 = _time.perf_counter()
-        m = ctx["match"]
-        with SwitchableTimer("3.2 solve dispatch"):
-            out = solve_packed_fused(
-                buf_all, m["idx"], m["keep"], m["xy"], m["size"],
-                ctx["diag"],
-                self.cameras, self.imu_params, layout, cfg,
-            )
-        try:
-            out.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass
-        return out
-
-    def dispatch_fused_solve_carrier(self, ctx, carrier_dev,
-                                     off_bytes: int, layout, cfg):
-        """Phase-B realtime solve reading the packed problem from the
-        frame's SINGLE carrier upload (pipelined loop); prepare_fused_
-        solve must have filled buf_all and the caller embedded its
-        bytes at `off_bytes` of the carrier."""
-        import time as _time
-
-        from okvis2_tpu.solver.packed_solve import solve_packed_fused_carrier
         from okvis2_tpu.utils.timing import SwitchableTimer
 
+        assert len(match_sets) == MAX_APPEND_SETS
         self._solve_t0 = _time.perf_counter()
-        m = ctx["match"]
         with SwitchableTimer("3.2 solve dispatch"):
             out = solve_packed_fused_carrier(
-                carrier_dev, m["idx"], m["keep"], m["xy"], m["size"],
-                ctx["diag"],
+                carrier_dev,
+                tuple(
+                    (m["idx"], m["keep"], m["xy"], m["size"])
+                    for m in match_sets
+                ),
+                diag,
                 self.cameras, self.imu_params, off_bytes, layout, cfg,
             )
         try:

@@ -81,6 +81,16 @@ class FrontendConfig:
     gravity_aligned_description: bool = False
     min_depth: float = 0.1
     max_depth: float = 60.0
+    # frame-to-frame matching: current keypoints are matched against the
+    # PREVIOUS dispatch's device-resident keypoints (rotation-compensated
+    # angular gate, degrees) and resolved to that frame's landmarks at
+    # finish time. This keeps match recall intact when the pipelined
+    # loop dispatches a frame BEFORE the previous frame's bookkeeping
+    # has staged its new landmarks into the device matching table (the
+    # table is one dispatch stale under lag) — the role of the
+    # reference's sequential keyframe-to-frame BRISK matching
+    # (Frontend.cpp:1399-1504).
+    ff_match_angle_deg: float = 5.0
 
 
 def _T7(T: Transformation) -> jnp.ndarray:
@@ -167,6 +177,9 @@ def _frame_associate_body(
     prev_signs: jnp.ndarray,  # [NC,N,B] source of staged table updates
     kf_xy: jnp.ndarray,  # [KF,NC,N,2] top-K keyframe stacks (device)
     kf_signs: jnp.ndarray,  # [KF,NC,N,B] (device)
+    ff_xy: jnp.ndarray,  # [NC,N,2] previous DISPATCH's keypoints
+    ff_signs: jnp.ndarray,  # [NC,N,B] (frame-to-frame continuity)
+    ff_mask: jnp.ndarray,  # [NC,N] bool
     extra_flat: jnp.ndarray,  # [K] piggybacked through the readback
     det_cfg,
     max_distance: int,
@@ -174,6 +187,7 @@ def _frame_associate_body(
     min_inliers: int,
     use_ransac: bool,
     do_motion_stereo: bool,
+    do_ff: bool,
     gravity_aligned: bool = False,
 ):
     """THE per-frame frontend program: detection + description +
@@ -195,12 +209,13 @@ def _frame_associate_body(
     cap = tab_signs.shape[0]
     KF, _, N = kf_xy.shape[0], kf_xy.shape[1], kf_xy.shape[2]
     # ---- decode the flat aux upload (free slicing in XLA) ----
-    nf = 7 + NC * 7 + cap * 4 + KF * 7 + 5
+    nf = 7 + 7 + NC * 7 + cap * 4 + KF * 7 + 6
     aux_f = aux[:nf]
     # int section rides the float carrier; values are exact (< 2^24)
     aux_i = jnp.round(aux[nf:]).astype(jnp.int32)
     o = 0
     T_WS7 = aux_f[o:o + 7]; o += 7
+    T_WS_prev7 = aux_f[o:o + 7]; o += 7  # previous dispatch's pose
     T_SC7 = aux_f[o:o + NC * 7].reshape(NC, 7); o += NC * 7
     hp = aux_f[o:o + cap * 4].reshape(cap, 4); o += cap * 4
     T_WS_kf7 = aux_f[o:o + KF * 7].reshape(KF, 7); o += KF * 7
@@ -209,6 +224,7 @@ def _frame_associate_body(
     epi_px = aux_f[o + 2]
     min_depth = aux_f[o + 3]
     max_depth = aux_f[o + 4]
+    ff_angle_deg = aux_f[o + 5]
     oi = 0
     lm_mask = aux_i[oi:oi + cap] > 0; oi += cap
     lm_init = aux_i[oi:oi + cap] > 0; oi += cap
@@ -279,6 +295,37 @@ def _frame_associate_body(
     matched = jax.vmap(
         lambda m, s: m.at[s].set(True, mode="drop")
     )(matched, src)
+
+    # frame-to-frame continuity: match the still-unmatched current
+    # keypoints against the PREVIOUS dispatch's keypoints (rotation-
+    # compensated angular gate). The host resolves these to landmarks
+    # hosted by the previous frame's keypoints at finish time — finishes
+    # run in order, so by then it knows them even when this dispatch ran
+    # BEFORE the previous frame's bookkeeping (pipelined lag) and its
+    # new landmarks were not yet in the matching table. Reference role:
+    # the sequential keyframe-to-frame match (Frontend.cpp:1399-1504).
+    ff_idx = jnp.full((NC, N), -1, jnp.int32)
+    ff_good = jnp.zeros((NC, N), bool)
+    if do_ff:
+        T_WS_cur = Transformation(r=T_WS7[:3], q=T_WS7[3:7])
+        T_WS_prev = Transformation(r=T_WS_prev7[:3], q=T_WS_prev7[3:7])
+        cos_thr = jnp.cos(jnp.deg2rad(ff_angle_deg))
+        avail_ff = kp_mask & ~matched
+        for ci, cam in enumerate(cameras):
+            T_sc = Transformation(r=T_SC7[ci, :3], q=T_SC7[ci, 3:7])
+            C_WA = (T_WS_prev @ T_sc).C
+            C_WB = (T_WS_cur @ T_sc).C
+            dp = (C_WA @ cam.back_project(ff_xy[ci]).T).T
+            dc = (C_WB @ cam.back_project(xy[ci]).T).T
+            dp = dp / (jnp.linalg.norm(dp, axis=-1, keepdims=True) + 1e-12)
+            dc = dc / (jnp.linalg.norm(dc, axis=-1, keepdims=True) + 1e-12)
+            gate = jnp.einsum("nk,mk->nm", dp, dc) > cos_thr
+            mres = match_descriptors(
+                ff_signs[ci], ff_mask[ci], kp_signs[ci], avail_ff[ci],
+                max_distance=max_distance, gate=gate,
+            )
+            ff_idx = ff_idx.at[ci].set(mres["idx_b"])
+            ff_good = ff_good.at[ci].set(mres["valid"])
 
     # motion stereo vs the top-K overlap-ranked window keyframes (same
     # camera across time; the reference ranks ALL window keyframes by
@@ -372,11 +419,23 @@ def _frame_associate_body(
         flat_good[sel][:, None].astype(jnp.float32),
     ], axis=1)  # [M,8]
 
+    # compact the frame-to-frame matches the same way: (ci, prev kp a,
+    # current kp b, valid), good rows first
+    ff_flat = ff_good.reshape(-1)
+    ff_sel = jnp.argsort(~ff_flat)[:_FF_ROWS]
+    ff_rows = jnp.concatenate([
+        (ff_sel // N)[:, None].astype(jnp.float32),  # ci
+        (ff_sel % N)[:, None].astype(jnp.float32),  # prev kp a
+        ff_idx.reshape(-1)[ff_sel][:, None].astype(jnp.float32),  # cur b
+        ff_flat[ff_sel][:, None].astype(jnp.float32),
+    ], axis=1)  # [_FF_ROWS,4]
+
     f32 = lambda a: a.astype(jnp.float32).ravel()
     diag = jnp.concatenate([
         f32(xy), f32(det["size"]), f32(kp_mask),
         f32(idx), f32(keep),
         f32(ms_rows),
+        f32(ff_rows),
         jnp.stack([n_inl.astype(jnp.float32),
                    ransac_ok.astype(jnp.float32),
                    rot_frac]),
@@ -404,20 +463,24 @@ def _frame_associate_body(
     donate_argnums=(3, 4),
     static_argnames=(
         "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
-        "do_motion_stereo", "gravity_aligned",
+        "do_motion_stereo", "do_ff", "gravity_aligned",
     ),
 )
 def _frame_associate_device(
     cameras, images, aux, tab_signs, tab_valid, prev_signs,
-    kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
-    min_inliers, use_ransac, do_motion_stereo, gravity_aligned=False,
+    kf_xy, kf_signs, ff_xy, ff_signs, ff_mask, extra_flat,
+    det_cfg, max_distance, n_hyp,
+    min_inliers, use_ransac, do_motion_stereo, do_ff,
+    gravity_aligned=False,
 ):
     """Two-upload entry (uint8 images + float32 aux carrier): the
     synchronous frame loop and tests."""
     return _frame_associate_body(
         cameras, images, aux, tab_signs, tab_valid, prev_signs,
-        kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
-        min_inliers, use_ransac, do_motion_stereo, gravity_aligned,
+        kf_xy, kf_signs, ff_xy, ff_signs, ff_mask, extra_flat,
+        det_cfg, max_distance, n_hyp,
+        min_inliers, use_ransac, do_motion_stereo, do_ff,
+        gravity_aligned,
     )
 
 
@@ -426,13 +489,15 @@ def _frame_associate_device(
     donate_argnums=(2, 3),
     static_argnames=(
         "det_cfg", "max_distance", "n_hyp", "min_inliers", "use_ransac",
-        "do_motion_stereo", "gravity_aligned", "img_shape", "n_aux",
+        "do_motion_stereo", "do_ff", "gravity_aligned", "img_shape",
+        "n_aux",
     ),
 )
 def _frame_associate_from_carrier(
     cameras, carrier, tab_signs, tab_valid, prev_signs,
-    kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
-    min_inliers, use_ransac, do_motion_stereo, gravity_aligned,
+    kf_xy, kf_signs, ff_xy, ff_signs, ff_mask, extra_flat,
+    det_cfg, max_distance, n_hyp,
+    min_inliers, use_ransac, do_motion_stereo, do_ff, gravity_aligned,
     img_shape=None, n_aux=0,
 ):
     """Single-carrier entry (pipelined loop): the frame's ENTIRE
@@ -451,8 +516,10 @@ def _frame_associate_from_carrier(
     )
     return _frame_associate_body(
         cameras, images, aux, tab_signs, tab_valid, prev_signs,
-        kf_xy, kf_signs, extra_flat, det_cfg, max_distance, n_hyp,
-        min_inliers, use_ransac, do_motion_stereo, gravity_aligned,
+        kf_xy, kf_signs, ff_xy, ff_signs, ff_mask, extra_flat,
+        det_cfg, max_distance, n_hyp,
+        min_inliers, use_ransac, do_motion_stereo, do_ff,
+        gravity_aligned,
     )
 
 
@@ -544,6 +611,7 @@ def _associate_core(
 
 
 _FLUSH_U = 512  # staged table updates folded into each fused dispatch
+_FF_ROWS = 256  # per-frame frame-to-frame match row budget (readback)
 
 
 def _table_update_body(tab_signs, tab_valid, kp_signs, upd):
@@ -907,7 +975,7 @@ class Frontend:
         cap = table.capacity
         KF = cfg.motion_stereo_keyframes
         B = DESCRIPTOR_BITS
-        nf = 7 + NC * 7 + cap * 4 + KF * 7 + 5
+        nf = 7 + 7 + NC * 7 + cap * 4 + KF * 7 + 6
         ni = 2 * cap + KF * NC * N + KF + 1 + 4 * _FLUSH_U  # + staged upd
         bufs = getattr(self, "_aux_bufs", None)
         if bufs is None or bufs[2].shape[0] != nf + ni:
@@ -917,8 +985,16 @@ class Frontend:
             bufs = (combined[:nf], combined[nf:], combined)
             self._aux_bufs = bufs
         aux_f, aux_i, aux_all = bufs
+        # previous DISPATCH's device-resident keypoints: frame-to-frame
+        # continuity when the pipelined loop runs ahead of bookkeeping
+        ffp = getattr(self, "_ff_prev", None)
+        do_ff = ffp is not None and ffp["sid"] in estimator.states
         o = 0
         aux_f[o:o + 7] = T_WS_pred7; o += 7
+        aux_f[o:o + 7] = (
+            estimator.states[ffp["sid"]].pose if do_ff
+            else np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32)
+        ); o += 7
         aux_f[o:o + NC * 7] = np.concatenate(self.T_SC_np); o += NC * 7
         hp_view = aux_f[o:o + cap * 4].reshape(cap, 4)
         hp_view[:] = 0.0
@@ -948,6 +1024,7 @@ class Frontend:
         aux_f[o_kf + KF * 7:] = (
             cfg.map_match_radius, cfg.ransac_threshold_deg,
             cfg.stereo_epipolar_gate, cfg.min_depth, cfg.max_depth,
+            cfg.ff_match_angle_deg,
         )
         kf_free = np.zeros((KF, NC, N), bool)
         kf_valid = np.zeros(KF, bool)
@@ -1009,11 +1086,27 @@ class Frontend:
                 self._prev_signs_zero = zp
             prev_signs = zp
 
+        if do_ff:
+            ff_xy_dev = ffp["xy"]
+            ff_signs_dev = ffp["signs"]
+            ff_mask_dev = ffp["mask"]
+        else:
+            zf = getattr(self, "_ff_zero", None)
+            if zf is None or zf[0].shape != (NC, N, 2):
+                zf = (jnp.zeros((NC, N, 2), fdtype),
+                      jnp.zeros((NC, N, B), fdtype),
+                      jnp.zeros((NC, N), bool))
+                self._ff_zero = zf
+            ff_xy_dev, ff_signs_dev, ff_mask_dev = zf
+
         return {
             "sid": sid, "imgs_u8": imgs, "aux_all": aux_all,
             "do_ms": do_ms, "top_ids": top_ids,
             "prev_signs": prev_signs,
             "kf_xy_dev": kf_xy_dev, "kf_signs_dev": kf_signs_dev,
+            "do_ff": do_ff, "ff_prev_sid": ffp["sid"] if do_ff else None,
+            "ff_xy_dev": ff_xy_dev, "ff_signs_dev": ff_signs_dev,
+            "ff_mask_dev": ff_mask_dev,
             "NC": NC, "N": N, "cap": cap, "KF": KF,
             # the match rows will reference table slots AS OF THIS PREP
             # (nothing mutates the table between prep and dispatch);
@@ -1042,10 +1135,17 @@ class Frontend:
             # all descriptor writes consumed (leftover clears don't
             # reference the staged signs, so the source can go)
             self._staged_signs_dev = None
+        # this dispatch's keypoints become the NEXT dispatch's
+        # frame-to-frame matching source (device-resident)
+        self._ff_prev = {
+            "sid": prep["sid"], "xy": stacked["xy"],
+            "signs": stacked["signs"], "mask": stacked["mask"],
+        }
         return {
             "sid": prep["sid"], "diag": diag, "stacked": stacked,
             "match": match, "do_ms": prep["do_ms"],
             "top_ids": prep["top_ids"],
+            "ff_prev_sid": prep["ff_prev_sid"],
             "NC": prep["NC"], "N": prep["N"], "cap": prep["cap"],
             "KF": prep["KF"], "slot_of": prep["slot_of"],
         }
@@ -1063,13 +1163,21 @@ class Frontend:
                 prep["prev_signs"],
                 prep["kf_xy_dev"],
                 prep["kf_signs_dev"],
+                prep["ff_xy_dev"],
+                prep["ff_signs_dev"],
+                prep["ff_mask_dev"],
                 self._zero_extra_dev(),
                 cfg.detection,
                 cfg.matching_threshold,
                 cfg.ransac_hypotheses,
                 cfg.ransac_min_inliers,
                 cfg.use_ransac,
-                prep["do_ms"],
+                # config-static flags: frames without keyframes (resp. a
+                # previous dispatch) pass all-False kf_valid / ff_mask
+                # instead of extra (expensive) compile variants of the
+                # fused program
+                cfg.motion_stereo_keyframes > 0,
+                cfg.ff_match_angle_deg > 0,
                 cfg.gravity_aligned_description,
                 img_shape=prep["imgs_u8"].shape,
                 n_aux=int(prep["aux_all"].size),
@@ -1104,13 +1212,17 @@ class Frontend:
                 prep["prev_signs"],
                 prep["kf_xy_dev"],
                 prep["kf_signs_dev"],
+                prep["ff_xy_dev"],
+                prep["ff_signs_dev"],
+                prep["ff_mask_dev"],
                 extra_dev,
                 cfg.detection,
                 cfg.matching_threshold,
                 cfg.ransac_hypotheses,
                 cfg.ransac_min_inliers,
                 cfg.use_ransac,
-                prep["do_ms"],
+                cfg.motion_stereo_keyframes > 0,  # config-static flags,
+                cfg.ff_match_angle_deg > 0,       # see dispatch_prepared
                 cfg.gravity_aligned_description,
             )
         return self._adopt_dispatch(prep, diag, stacked, match,
@@ -1130,6 +1242,12 @@ class Frontend:
         # frame's staging starts so the sources never mix
         if table._upd:
             self._flush_staged()
+        # per-finish staging: with the adaptive pending queue several
+        # frames can finish back-to-back before the next prepare; the
+        # descriptor-stage list must only ever hold THIS frame's
+        # entries or a keyframe's deferred fetch would resolve another
+        # frame's keypoint indices against the wrong signs
+        self._desc_stage = []
         sid = ctx["sid"]
         stacked = ctx["stacked"]
         do_ms = ctx["do_ms"]
@@ -1151,6 +1269,7 @@ class Frontend:
         idx = take(NC * cap, (NC, cap)).astype(np.int32)
         keep = take(NC * cap, (NC, cap)) > 0.5
         ms_rows = take(256 * 8, (256, 8))
+        ff_rows = take(_FF_ROWS * 4, (_FF_ROWS, 4))
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
         rot_frac = float(diag[off + 2])
         extra_np = diag[off + 3:]
@@ -1165,12 +1284,17 @@ class Frontend:
         self.last_ransac = {"num_inliers": n_inl, "ok": ransac_ok}
 
         # ---- observation insertion (RANSAC survivors only) ----
+        # the match rows index table slots AS OF THE DISPATCH: under
+        # pipelined lag, bookkeeping between dispatch and this finish
+        # can have released/reallocated slots, so resolve through the
+        # ctx snapshot (and drop landmarks deleted since)
+        lid_of_dispatch = {s: l for l, s in ctx["slot_of"].items()}
         n_matched = 0
         for ci in range(NC):
             fr = frames[ci]
             for s in np.nonzero(keep[ci])[0]:
-                lid = table.lid_of.get(int(s))
-                if lid is None:
+                lid = lid_of_dispatch.get(int(s))
+                if lid is None or lid not in estimator.landmarks:
                     continue
                 kp = int(idx[ci][s])
                 estimator.add_observation(
@@ -1179,6 +1303,46 @@ class Frontend:
                 table.stage_descriptor(lid, ci, kp)
                 self._desc_stage.append((lid, ci, kp))
                 n_matched += 1
+
+        # ---- frame-to-frame continuity resolution ----
+        # a current keypoint the map match missed, matched on device to
+        # a previous-dispatch keypoint: if the host's (by now complete)
+        # bookkeeping says that keypoint hosts a landmark, observe it.
+        # This is what keeps recall intact when this frame was
+        # DISPATCHED before the previous frame's finish staged its new
+        # landmarks into the matching table (pipelined lag).
+        n_ff = 0
+        prev_sid = ctx.get("ff_prev_sid")
+        if prev_sid is not None and prev_sid in estimator.states:
+            host_of = {
+                (c2, k2): l2
+                for (l2, c2, k2) in estimator.obs_of_state(prev_sid)
+            }
+            if host_of:
+                cur_obs = estimator.obs_of_state(sid)
+                cur_used = {(c2, k2) for (_l, c2, k2) in cur_obs}
+                cur_lids = {l2 for (l2, _c, _k) in cur_obs}
+                for r in ff_rows[ff_rows[:, 3] > 0.5]:
+                    ci, a, b = int(r[0]), int(r[1]), int(r[2])
+                    if b < 0 or ci >= NC:
+                        continue
+                    lid = host_of.get((ci, a))
+                    if lid is None or lid not in estimator.landmarks:
+                        continue
+                    if (ci, b) in cur_used or lid in cur_lids:
+                        continue
+                    fr = frames[ci]
+                    if not fr["mask"][b]:
+                        continue
+                    estimator.add_observation(
+                        lid, sid, ci, b, fr["xy"][b], fr["size"][b]
+                    )
+                    table.stage_descriptor(lid, ci, b)
+                    self._desc_stage.append((lid, ci, b))
+                    cur_used.add((ci, b))
+                    cur_lids.add(lid)
+                    n_ff += 1
+        n_matched += n_ff
 
         # ---- motion-stereo landmark initialisation ----
         # rotation-only veto: when a pure rotation explains nearly all
@@ -1224,6 +1388,7 @@ class Frontend:
         self._staged_signs_dev = stacked["signs"]
         return frames, {
             "num_matched": n_matched, "num_motion_stereo": n_ms,
+            "num_ff": n_ff,
             "ransac_inliers": n_inl, "ransac_ok": ransac_ok,
             "rotation_only_frac": rot_frac,
             "extra": extra_np,
@@ -1238,6 +1403,13 @@ class Frontend:
         resolves the staged lm_descriptors updates."""
         stacked = frames[0]["stacked"]
         packed = np.asarray(stacked["signs_packed"])  # [NC,N,B//32]
+        stage = self._desc_stage
+        self._desc_stage = []
+        return self._apply_fetched_signs(frames, packed, stage)
+
+    def _apply_fetched_signs(self, frames, packed, desc_stage):
+        """Host half of the descriptor fetch: unpack the bit-packed
+        uint32 form and resolve staged lm_descriptors host copies."""
         NC, N = packed.shape[0], packed.shape[1]
         bits = (
             (packed[..., None] >> np.arange(32, dtype=np.uint32)) & 1
@@ -1249,11 +1421,67 @@ class Frontend:
                 fr["mask"], np.float32
             )[:, None]
             fr["signs_np"] = signs_np[ci]
-        for (lid, ci, kp) in self._desc_stage:
+        for (lid, ci, kp) in desc_stage:
             if kp < signs_np.shape[1]:
                 self.lm_descriptors[lid] = signs_np[ci, kp]
-        self._desc_stage = []
         return signs_np
+
+    def dispatch_keyframe_extras(self, estimator: Estimator, frames,
+                                 sid: int):
+        """Start a keyframe's device work WITHOUT blocking (pipelined
+        loop): the bit-packed descriptor fetch (place recognition, loop
+        verification, map export) and the all-pairs static-stereo
+        program. Both host syncs (~45 ms of pure latency each on the
+        tunnel) cross in ONE background thread; finish_keyframe_extras
+        consumes them a frame later. Returns the pending dict."""
+        import threading
+
+        stacked = frames[0]["stacked"]
+        stereo = self._dispatch_static_stereo(estimator, frames, sid)
+        pend = {
+            "sid": sid,
+            "frames": frames,
+            "stereo": stereo,
+            # entries staged by THIS frame's finish_frame; the list
+            # resets at the next finish, so snapshot now
+            "desc_stage": self._desc_stage,
+        }
+        self._desc_stage = []
+        fut = {}
+
+        def _fetch(f=fut):
+            try:
+                f["signs_packed"] = np.asarray(stacked["signs_packed"])
+                if stereo is not None:
+                    f["stereo"] = jax.device_get(stereo["out"])
+            except Exception as e:  # surfaced at join time
+                f["err"] = e
+
+        th = threading.Thread(target=_fetch, daemon=True)
+        th.start()
+        pend["fetch"] = (th, fut)
+        return pend
+
+    def finish_keyframe_extras(self, estimator: Estimator, pend):
+        """Consume a keyframe's deferred device outputs: descriptor
+        unpack + staged host copies, static-stereo landmark insertion,
+        keyframe store. Returns the number of stereo-initialised
+        landmarks."""
+        th, fut = pend["fetch"]
+        th.join()
+        if "err" in fut:
+            raise fut["err"]
+        frames, sid = pend["frames"], pend["sid"]
+        self._apply_fetched_signs(
+            frames, fut["signs_packed"], pend["desc_stage"]
+        )
+        n_new = 0
+        if pend["stereo"] is not None:
+            n_new = self._insert_static_stereo(
+                estimator, frames, sid, pend["stereo"], fut["stereo"]
+            )
+        self.remember_keyframe_frames(sid, frames)
+        return n_new
 
     # ------------------------------------------------------------------
     def _flush_staged(self):
@@ -1405,22 +1633,33 @@ class Frontend:
         per-pair loop paid a serialised tunnel roundtrip per pair); the
         pair-order keypoint consumption the reference gets from its
         sequential matching is reproduced by a host-side dedup over the
-        batched results."""
+        batched results. Synchronous wrapper; the pipelined loop splits
+        into dispatch_keyframe_extras / finish_keyframe_extras."""
+        pend = self._dispatch_static_stereo(estimator, frames, sid)
+        if pend is None:
+            return 0
+        fetched = jax.device_get(pend["out"])
+        return self._insert_static_stereo(
+            estimator, frames, sid, pend, fetched
+        )
+
+    def _dispatch_static_stereo(self, estimator: Estimator, frames,
+                                sid: int):
+        """Host prep + device dispatch of the all-pairs static-stereo
+        program; NO readback. Returns {"out": device handles, "pairs"}
+        or None when the rig has no overlapping pairs."""
         cfg = self.cfg
         if len(self.cameras) < 2:
-            return 0
+            return None
         pairs = tuple(self._overlapping_pairs())
         if not pairs:
-            return 0
+            return None
         rec = estimator.states[sid]
         stacked = frames[0]["stacked"]
         dtype = np.float32
-        used = {
-            (c, kp) for (_l, c, kp) in estimator.obs_of_state(sid)
-        }
         free = np.stack([np.asarray(f["mask"], bool) for f in frames])
         N = free.shape[1]
-        for (c, kp) in used:
+        for (_l, c, kp) in estimator.obs_of_state(sid):
             if kp < N:
                 free[c, kp] = False
         P = len(pairs)
@@ -1442,13 +1681,26 @@ class Frontend:
         for p, (ci, cj) in enumerate(pairs):
             aux[o + p * N:o + (p + 1) * N] = free[ci]
             aux[o + (P + p) * N:o + (P + p + 1) * N] = free[cj]
-        idx_b, hp_W, good, parallel = jax.device_get(
-            _stereo_pairs_device(
-                self.cameras, jnp.asarray(aux),
-                stacked["xy"], stacked["signs"],
-                pairs, cfg.matching_threshold, True,
-            )
+        out = _stereo_pairs_device(
+            self.cameras, jnp.asarray(aux),
+            stacked["xy"], stacked["signs"],
+            pairs, cfg.matching_threshold, True,
         )
+        return {"out": out, "pairs": pairs}
+
+    def _insert_static_stereo(self, estimator: Estimator, frames,
+                              sid: int, pend, fetched):
+        """Host half of static stereo: insert the fetched pair matches
+        as new landmarks + observations. The keypoint-consumption dedup
+        runs against the observations AS OF NOW, so matches that
+        arrived between dispatch and this (possibly deferred) insertion
+        can't double-host a keypoint."""
+        stacked = frames[0]["stacked"]
+        idx_b, hp_W, good, parallel = fetched
+        pairs = pend["pairs"]
+        used = {
+            (c, kp) for (_l, c, kp) in estimator.obs_of_state(sid)
+        }
         n_new = 0
         for p, (ci, cj) in enumerate(pairs):
             fa, fb = frames[ci], frames[cj]

@@ -63,13 +63,16 @@ class SlamSystem:
         # solve problem) crosses the tunnel as ONE carrier buffer; the
         # fused frontend program's match rows are appended to the
         # packed window problem ON DEVICE and solved in the same
-        # dispatch chain; the combined [solve | diag] output is
-        # consumed at the START of the next frame, after its copy has
-        # had a whole frame period to cross the tunnel. Host
-        # bookkeeping (observation insertion, keyframe work, loop
-        # closure, marginalisation) runs one frame behind the device.
+        # dispatch chain; each frame's combined [solve | diag] output
+        # crosses back in a background thread and is consumed as soon
+        # as it arrives (adaptive lag, bounded by MAX_APPEND_SETS-1
+        # in-flight frames). Host bookkeeping (observation insertion,
+        # keyframe work, loop closure, marginalisation) runs 1-2
+        # frames behind the device.
         self.pipelined = pipelined
-        self._pending_frame = None
+        # in-flight frames: dispatched, [solve|diag] copy crossing in a
+        # background thread, host bookkeeping not yet run (oldest first)
+        self._pending_frames: Deque[dict] = collections.deque()
         self.estimator = Estimator(
             cameras, extrinsics, imu_params, estimator_config
         )
@@ -264,31 +267,43 @@ class SlamSystem:
         return self._process_frame_sync()
 
     def _process_frame_pipelined(self) -> bool:
-        """Phase-B frame loop (see __init__), carrier edition: finish
-        the PREVIOUS frame first (its [solve|diag] host copy has been
-        crossing the tunnel in the background for a whole frame), then
-        predict from the refreshed state, assemble the frame's ENTIRE
-        host->device state — the uint8 image stack, the frontend aux
-        section and the packed realtime-solve problem — into ONE
-        carrier buffer, upload it with a SINGLE RPC, and dispatch the
-        fused frontend + fused solve programs against it. Steady-state
-        frames cost zero blocking readbacks and exactly one upload on
-        the serialised tunnel."""
+        """Phase-B frame loop (see __init__), adaptive-lag carrier
+        edition. Per frame:
+
+        1. Finish every in-flight frame whose [solve|diag] copy has
+           ARRIVED (non-blocking poll, oldest first); only when more
+           than MAX_APPEND_SETS-2 frames are still crossing does the
+           loop block on the oldest. On the axon dev tunnel a
+           host-observed sync costs ~40-45 ms of pure latency but
+           concurrent syncs overlap almost perfectly (tools/
+           probe_concurrent_sync.py), so the fetches ride background
+           threads and the loop's throughput is host-work-bound, not
+           sync-latency-bound.
+        2. Predict, then assemble the frame's ENTIRE host->device
+           state — uint8 images | frontend aux | packed solve problem —
+           into ONE carrier buffer: a single upload RPC.
+        3. Dispatch the fused frontend and fused solve against the
+           carrier. The solve appends the match rows of EVERY in-flight
+           frame (their observations are not in the host pack yet) plus
+           the current one, straight from the device-resident frontend
+           outputs.
+        """
         if not self._image_queue:
             return False
+        from okvis2_tpu.solver.packed_solve import MAX_APPEND_SETS
         from okvis2_tpu.utils.timing import SwitchableTimer
 
         t, images = self._image_queue.popleft()
         est = self.estimator
-        with SwitchableTimer("0 finish previous frame"):
-            self._finish_pending()
+        with SwitchableTimer("0 consume finished frames"):
+            self._consume_pending(max_left=MAX_APPEND_SETS - 2)
         with SwitchableTimer("0.5 imu + predict"):
             imu_w, imu_a, imu_dt = self._gather_imu(
                 self._last_frame_t, t
             )
             self._last_frame_t = t
-            # prediction is FRESH: the previous frame's solve was
-            # applied in _finish_pending above
+            # the prediction is as fresh as the newest CONSUMED frame's
+            # solve; still-crossing frames contribute IMU propagation
             sid = est.add_state(t, imu_w, imu_a, imu_dt)
             T_WS_pred7 = est.states[sid].pose
 
@@ -296,8 +311,12 @@ class SlamSystem:
             prep = self.frontend.prepare_frame(
                 est, images, sid, T_WS_pred7
             )
+            sets = [
+                {"sid": p["sid"], "slot_of": p["ctx"]["slot_of"]}
+                for p in self._pending_frames
+            ] + [{"sid": sid, "slot_of": prep["slot_of"]}]
             layout, scfg, buf_all = est.prepare_fused_solve(
-                sid, self.frontend.table
+                sid, self.frontend.table, sets
             )
             imgs = prep["imgs_u8"]
             n_img = imgs.nbytes
@@ -313,15 +332,20 @@ class SlamSystem:
         with SwitchableTimer("2 carrier upload + dispatches"):
             carrier_dev = jnp.asarray(carrier)
             ctx = self.frontend.dispatch_prepared(prep, carrier_dev)
+            match_sets = [
+                p["ctx"]["match"] for p in self._pending_frames
+            ] + [ctx["match"]]
+            while len(match_sets) < MAX_APPEND_SETS:
+                # padding sets are disabled by their all--1 slot maps
+                match_sets.append(ctx["match"])
             out = est.dispatch_fused_solve_carrier(
-                ctx, carrier_dev, off_solve, layout, scfg
+                match_sets, ctx["diag"], carrier_dev, off_solve,
+                layout, scfg,
             )
         # fetch the combined output in a BACKGROUND thread: numpy's
-        # device->host conversion releases the GIL for the transfer, so
-        # the RPC's ~50 ms round trip over the tunnel overlaps the next
-        # frame's host work instead of blocking at finish time
-        # (copy_to_host_async alone proved insufficient once the next
-        # frame's RPCs queue behind it)
+        # device->host conversion releases the GIL, the ~40-45 ms sync
+        # latency is paid off the critical path, and concurrent fetches
+        # of several in-flight frames overlap on the tunnel
         import threading
 
         fut = {}
@@ -334,24 +358,102 @@ class SlamSystem:
 
         th = threading.Thread(target=_fetch, daemon=True)
         th.start()
-        self._pending_frame = {
+        self._pending_frames.append({
             "t": t, "sid": sid, "ctx": ctx, "out": out,
             "fetch": (th, fut),
             "slot_of": dict(est._slot_of), "lm_ids": list(est._lm_ids),
             "images": images,
-        }
+        })
         self.frames_processed += 1
         return True
 
-    def _finish_pending(self):
-        """Consume the previous frame's combined [solve | diag] output
+    def _consume_pending(self, max_left: int):
+        """Finish in-flight frames, oldest first: every frame whose
+        fetch has completed is consumed without blocking; when more
+        than `max_left` frames would remain in flight, block on the
+        oldest (bounds the bookkeeping lag and the device-append set
+        count). max_left=0 drains the pipeline."""
+        q = self._pending_frames
+        # test hook: keep >= _force_min_pending frames in flight so the
+        # multi-set device append is exercised even where fetches
+        # complete instantly (CPU backend)
+        min_pending = getattr(self, "_force_min_pending", 0)
+        while q:
+            if max_left > 0 and len(q) <= min_pending:
+                break
+            p = q[0]
+            th = p["fetch"][0]
+            if th.is_alive() and len(q) <= max_left:
+                break
+            q.popleft()
+            self._finish_one(p)
+
+    def _keyframe_tail(self, sid, frames, images):
+        """Host keyframe work that needs the fetched descriptors:
+        depth-aided init, frontier expansion, CNN suppression, place
+        recognition and multi-session relocalisation. Returns the
+        detected loop keyframe id (or None). Runs inline on the
+        synchronous path, one frame deferred on the pipelined path."""
+        est = self.estimator
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
+        loop_old_id = None
+        # depth-aided landmark initialisation (RGBD rigs)
+        if getattr(self, "_latest_depth", None) is not None:
+            self._init_landmarks_from_depth(frames, sid)
+        # frontier re-activation: if this keyframe re-observes a
+        # pose-graph frame's stored landmarks, bring that frame back
+        # (expandKeyframe, ViSlamBackend.cpp:357-406)
+        est.expand_keyframe(sid)
+        # CNN sky/person landmark suppression (Frontend.cpp:969-1011)
+        if self.cnn is not None:
+            with SwitchableTimer("2.07 cnn suppression"):
+                self.cnn.suppress(est, frames, sid, images)
+        # place recognition / loop closure (Frontend.cpp:674-899)
+        if self.loop_backend is not None:
+            with SwitchableTimer("2.06 place recognition"):
+                loop_old_id = self.loop_backend.detect_loop(
+                    est, sid, frames
+                )
+                self.loop_backend.add_keyframe(est, sid, frames)
+            # multi-session relocalisation against loaded components
+            # (their own databases; works from an unknown pose)
+            if self.loop_backend.has_components():
+                v = self.loop_backend.relocalise(est, sid, frames)
+                if v is not None:
+                    self._apply_relocalisation(est, sid, frames, v)
+        return loop_old_id
+
+    def _finish_deferred_keyframe(self):
+        """Pipelined: consume the previous keyframe's deferred extras
+        (their background fetches have been crossing since the
+        keyframe's finish) and run the keyframe tail, including any
+        loop closure."""
+        pk = getattr(self, "_pending_kf", None)
+        if pk is None:
+            return
+        self._pending_kf = None
+        est = self.estimator
+        sid = pk["sid"]
+        if sid not in est.states:
+            return  # the keyframe's state left the graph meanwhile
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
+        frames = pk["frames"]
+        with SwitchableTimer("2.05 keyframe extras finish"):
+            self.frontend.finish_keyframe_extras(est, pk)
+            loop_old_id = self._keyframe_tail(sid, frames, pk["images"])
+        if loop_old_id is not None:
+            self.loop_backend.close_loop(
+                est, loop_old_id, sid, frames, self.frontend,
+                async_solve=True,
+            )
+
+    def _finish_one(self, p):
+        """Consume one in-flight frame's combined [solve | diag] output
         and run its host bookkeeping: observation insertion, solve
         application, keyframe work, loop closure, marginalisation,
-        callbacks — the one-frame-lagged half of the pipelined loop."""
-        p = self._pending_frame
-        if p is None:
-            return
-        self._pending_frame = None
+        callbacks — the lagged half of the pipelined loop."""
         est = self.estimator
         from okvis2_tpu.utils.timing import SwitchableTimer
 
@@ -359,12 +461,15 @@ class SlamSystem:
         # here, one frame later (its copy crossed in the background)
         if self.loop_backend is not None:
             self.loop_backend.apply_pending_full_graph(est)
+        # the previous keyframe's deferred extras precede this frame's
+        # bookkeeping (its staged descriptor sources must stay aligned)
+        self._finish_deferred_keyframe()
         with SwitchableTimer("0.1 lagged [solve|diag] fetch"):
             th, fut = p["fetch"]
             th.join()
             if "err" in fut:
                 raise fut["err"]
-            out = fut["arr"]  # fetched in the background last frame
+            out = fut["arr"]  # fetched in the background
         n_solve = est.solve_out_size()
         solve_np, diag_np = out[:n_solve], out[n_solve:]
         sid = p["sid"]
@@ -378,9 +483,15 @@ class SlamSystem:
                 p["t"], sid, frames, m, p["images"], dispatch_solve=False
             )
 
+    def _finish_pending(self):
+        """Drain every in-flight frame (blocking, oldest first)."""
+        self._consume_pending(max_left=0)
+
     def finish(self):
         """Drain the pipelined loop (call after the last frame)."""
         self._finish_pending()
+        # a keyframe in the final frame leaves its extras deferred
+        self._finish_deferred_keyframe()
         if self.loop_backend is not None:
             # a full-graph solve dispatched by the very last frame's
             # loop closure still needs integrating
@@ -447,36 +558,26 @@ class SlamSystem:
         loop_old_id = None
         if is_kf:
             self.frontend.last_keyframe_id = sid
-            # keyframes pay extra readbacks: descriptors for place
-            # recognition / map export, and the static-stereo results
-            with SwitchableTimer("2.05 keyframe extras"):
-                self.frontend.fetch_signs(frames)
-                self.frontend.match_stereo(est, frames, sid)
-                self.frontend.remember_keyframe_frames(sid, frames)
-            # depth-aided landmark initialisation (RGBD rigs)
-            if getattr(self, "_latest_depth", None) is not None:
-                self._init_landmarks_from_depth(frames, sid)
-            # frontier re-activation: if this keyframe re-observes a
-            # pose-graph frame's stored landmarks, bring that frame back
-            # (expandKeyframe, ViSlamBackend.cpp:357-406)
-            est.expand_keyframe(sid)
-            # CNN sky/person landmark suppression (Frontend.cpp:969-1011)
-            if self.cnn is not None:
-                with SwitchableTimer("2.07 cnn suppression"):
-                    self.cnn.suppress(est, frames, sid, images)
-            # place recognition / loop closure (Frontend.cpp:674-899)
-            if self.loop_backend is not None:
-                with SwitchableTimer("2.06 place recognition"):
-                    loop_old_id = self.loop_backend.detect_loop(
-                        est, sid, frames
+            if self.pipelined:
+                # keyframe extras need two host syncs (descriptor fetch
+                # + static-stereo results, ~45 ms of latency each over
+                # the tunnel): dispatch the device work now, let the
+                # fetches cross in a background thread, and run the
+                # whole keyframe tail (stereo insertion, expand, CNN,
+                # place recognition, loop closure) at the NEXT finish
+                with SwitchableTimer("2.05 keyframe extras dispatch"):
+                    pk = self.frontend.dispatch_keyframe_extras(
+                        est, frames, sid
                     )
-                    self.loop_backend.add_keyframe(est, sid, frames)
-                # multi-session relocalisation against loaded components
-                # (their own databases; works from an unknown pose)
-                if self.loop_backend.has_components():
-                    v = self.loop_backend.relocalise(est, sid, frames)
-                    if v is not None:
-                        self._apply_relocalisation(est, sid, frames, v)
+                    pk["images"] = images
+                    self._pending_kf = pk
+            else:
+                # synchronous path: blocking extras + the tail inline
+                with SwitchableTimer("2.05 keyframe extras"):
+                    self.frontend.fetch_signs(frames)
+                    self.frontend.match_stereo(est, frames, sid)
+                    self.frontend.remember_keyframe_frames(sid, frames)
+                loop_old_id = self._keyframe_tail(sid, frames, images)
 
         # 5b. loop closure first (it rewrites poses + landmarks and
         # solves the full graph inline; the realtime dispatch below then
@@ -590,7 +691,8 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def trajectory(self):
-        self._finish_pending()  # pipelined: fold in the in-flight frame
+        self._finish_pending()  # pipelined: fold in in-flight frames
+        self._finish_deferred_keyframe()
         return self.estimator.trajectory()
 
     # ------------------------------------------------------------------

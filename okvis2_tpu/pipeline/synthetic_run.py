@@ -55,11 +55,16 @@ def run_synthetic_vio(
     n_stars: int = 3000,
     pipelined: bool = False,
     rig=None,
+    force_min_pending: int = 0,
 ):
     """Returns dict with ate, trajectories, timing breakdown. `rig`
     optionally injects a (cameras, extrinsics) pair (fisheye /
     multi-camera regression variants) instead of the default stereo
-    radtan rig."""
+    radtan rig. `force_min_pending` keeps at least that many frames
+    in flight in the pipelined loop (test hook: exercises the
+    multi-set device-side match append deterministically — on CPU the
+    background fetches complete so fast the adaptive lag rarely
+    exceeds one frame)."""
     cams, exts = rig if rig is not None else small_rig(width, height)
     imu_params = ImuParameters.create(g=9.81)
     if estimator_config is None:
@@ -75,6 +80,8 @@ def run_synthetic_vio(
     slam = SlamSystem(cams, exts, imu_params, estimator_config, fe_cfg,
                       do_loop_closures=do_loop_closures,
                       pipelined=pipelined)
+    if force_min_pending:
+        slam._force_min_pending = force_min_pending
     ds = SyntheticDataset(
         cams, exts, imu_params,
         duration=duration, frame_rate=frame_rate, imu_noise=imu_noise,

@@ -157,15 +157,17 @@ def _append_matches(
     size: jnp.ndarray,  # [NC,N]
     lm_slot_map: jnp.ndarray,  # [cap] table slot -> solver lm slot (-1: none)
     w_scale: jnp.ndarray,  # [cap] per-landmark sqrt(info_scale)
-    cur_slot: jnp.ndarray,  # [] window slot of the current state
-    n_obs_base: jnp.ndarray,  # [] filled obs rows in the host pack
-) -> WindowProblem:
-    """Append the CURRENT frame's match rows to the packed observation
-    arrays ON DEVICE (Phase B of the tunnel plan): the host never sees
-    this frame's matches before the solve — they flow straight from the
-    fused frontend program into the window problem, and the diagnostics
-    ride the next frame's readback. Fixed shapes throughout: compacted
-    scatter positions with mode="drop" for overflow."""
+    cur_slot: jnp.ndarray,  # [] window slot of the frame's state
+    n_obs_base: jnp.ndarray,  # [] next free obs row
+):
+    """Append ONE frame's match rows to the packed observation arrays
+    ON DEVICE (Phase B of the tunnel plan): the host never sees these
+    matches before the solve — they flow straight from the fused
+    frontend program into the window problem, and the diagnostics ride
+    a later frame's readback. Fixed shapes throughout: compacted
+    scatter positions with mode="drop" for overflow. Returns
+    (problem, next free obs row) so the appends of several
+    not-yet-finished frames chain."""
     NC, cap = idx.shape
     valid = keep & (lm_slot_map >= 0)[None, :]
     vflat = valid.reshape(-1)
@@ -184,7 +186,7 @@ def _append_matches(
     cur = jnp.broadcast_to(
         cur_slot.astype(problem.obs_state.dtype), tgt.shape
     )
-    return dataclasses.replace(
+    problem = dataclasses.replace(
         problem,
         obs_state=problem.obs_state.at[tgt].set(cur, mode="drop"),
         obs_cam=problem.obs_cam.at[tgt].set(ci, mode="drop"),
@@ -195,31 +197,14 @@ def _append_matches(
         ),
         obs_mask=problem.obs_mask.at[tgt].set(True, mode="drop"),
     )
+    return problem, n_obs_base + jnp.sum(vflat.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("layout", "config"))
-def solve_packed_fused(
-    flat_all: jnp.ndarray,
-    idx: jnp.ndarray,
-    keep: jnp.ndarray,
-    xy: jnp.ndarray,
-    size: jnp.ndarray,
-    diag: jnp.ndarray,
-    cameras,
-    imu_params,
-    layout: PackedLayout,
-    config: SolverConfig,
-):
-    """Phase-B solve: unflatten the host pack, append the current
-    frame's device-resident match rows, solve, and return ONE flat
-    array [solve_out | frontend diag] — the frame's single (lagged)
-    readback carries both. The landmark slot map / weight scales /
-    current slot / obs base ride the trailing aux regions of the ONE
-    flat upload (see PackedLayout)."""
-    return _solve_packed_fused_body(
-        flat_all, idx, keep, xy, size, diag, cameras, imu_params,
-        layout, config,
-    )
+# How many not-yet-finished frames' match rows a fused solve can
+# append on device (the adaptive pipelined loop keeps up to
+# MAX_APPEND_SETS-1 frames in flight plus the current one; each set's
+# landmark slot map and window slot ride the carrier's aux regions).
+MAX_APPEND_SETS = 3
 
 
 @functools.partial(
@@ -227,10 +212,7 @@ def solve_packed_fused(
 )
 def solve_packed_fused_carrier(
     carrier: jnp.ndarray,
-    idx: jnp.ndarray,
-    keep: jnp.ndarray,
-    xy: jnp.ndarray,
-    size: jnp.ndarray,
+    match_sets,  # tuple of MAX_APPEND_SETS (idx, keep, xy, size) tuples
     diag: jnp.ndarray,
     cameras,
     imu_params,
@@ -238,42 +220,39 @@ def solve_packed_fused_carrier(
     layout: PackedLayout,
     config: SolverConfig,
 ):
-    """Carrier entry: the packed problem rides the pipelined frame's
-    SINGLE uint8 upload (images | frontend aux | packed problem);
-    bitcast its byte section back to the carrier float dtype (exact)
-    and solve. See slam.py `_process_frame_pipelined`."""
+    """Phase-B fused solve, carrier entry: the packed problem rides the
+    pipelined frame's SINGLE uint8 upload (images | frontend aux |
+    packed problem) — bitcast its byte section back to the carrier
+    float dtype (exact), append every in-flight frame's device-resident
+    match rows (oldest first: frames whose [solve|diag] output the host
+    has not consumed yet contribute their observations HERE, since the
+    host pack cannot contain them), solve, and return ONE flat array
+    [solve_out | frontend diag]. Per-set landmark slot maps / window
+    slots and the shared weight scales ride the trailing aux regions of
+    the carrier (see PackedLayout / Estimator.prepare_fused_solve)."""
     nb = np.dtype(layout.float_dtype).itemsize
     n = layout.n_float + layout.n_int
     flat_all = jax.lax.bitcast_convert_type(
         carrier[off_bytes:off_bytes + nb * n].reshape(-1, nb),
         layout.float_dtype,
     )
-    return _solve_packed_fused_body(
-        flat_all, idx, keep, xy, size, diag, cameras, imu_params,
-        layout, config,
-    )
-
-
-def _solve_packed_fused_body(
-    flat_all, idx, keep, xy, size, diag, cameras, imu_params,
-    layout: PackedLayout, config: SolverConfig,
-):
-    cap = idx.shape[1]
+    K = MAX_APPEND_SETS
+    cap = match_sets[0][0].shape[1]
     flat_f = flat_all[: layout.n_float]
     flat_i = flat_all[layout.n_float:]
     w_scale = flat_f[layout.aux_f_off:layout.aux_f_off + cap]
-    lm_slot_map = jnp.round(
-        flat_i[layout.aux_i_off:layout.aux_i_off + cap]
-    ).astype(jnp.int32)
-    cur_slot = jnp.round(flat_i[layout.aux_i_off + cap]).astype(jnp.int32)
-    n_obs_base = jnp.round(
-        flat_i[layout.aux_i_off + cap + 1]
-    ).astype(jnp.int32)
+    oi = layout.aux_i_off
+    maps = jnp.round(flat_i[oi:oi + K * cap]).astype(
+        jnp.int32).reshape(K, cap)
+    cur_slots = jnp.round(flat_i[oi + K * cap:oi + K * cap + K]).astype(
+        jnp.int32)
+    n_obs = jnp.round(flat_i[oi + K * cap + K]).astype(jnp.int32)
     problem = layout.unflatten(flat_all)
-    problem = _append_matches(
-        problem, idx, keep, xy, size, lm_slot_map, w_scale,
-        cur_slot, n_obs_base,
-    )
+    for k, (idx, keep, xy, size) in enumerate(match_sets):
+        problem, n_obs = _append_matches(
+            problem, idx, keep, xy, size, maps[k], w_scale,
+            cur_slots[k], n_obs,
+        )
     solved, stats = solve_window_impl(problem, cameras, imu_params, config)
     dtype = solved.pose.dtype
     out = jnp.concatenate([

@@ -20,7 +20,8 @@ from typing import Dict, List, Optional
 
 
 class _Stats:
-    __slots__ = ("n", "total", "min", "max", "m2", "mean", "last")
+    __slots__ = ("n", "total", "min", "max", "m2", "mean", "last",
+                 "recent")
 
     def __init__(self):
         self.n = 0
@@ -30,6 +31,7 @@ class _Stats:
         self.mean = 0.0
         self.m2 = 0.0
         self.last = 0.0
+        self.recent: List[float] = []  # ring of the last 128 samples
 
     def add(self, dt: float):
         self.n += 1
@@ -40,6 +42,19 @@ class _Stats:
         d = dt - self.mean
         self.mean += d / self.n
         self.m2 += d * (dt - self.mean)
+        if len(self.recent) >= 128:
+            self.recent[self.n % 128] = dt
+        else:
+            self.recent.append(dt)
+
+    @property
+    def p50(self) -> float:
+        """Median of the most recent <=128 samples (robust to the
+        compile-dominated first calls)."""
+        if not self.recent:
+            return 0.0
+        s = sorted(self.recent)
+        return s[len(s) // 2]
 
     @property
     def std(self) -> float:
@@ -84,8 +99,9 @@ class Timing:
             s = cls._timers[name]
             lines.append(
                 f"  {name}: n={s.n} total={s.total:.3f}s "
-                f"mean={s.mean*1e3:.2f}ms min={s.min*1e3:.2f}ms "
-                f"max={s.max*1e3:.2f}ms std={s.std*1e3:.2f}ms"
+                f"p50={s.p50*1e3:.2f}ms mean={s.mean*1e3:.2f}ms "
+                f"min={s.min*1e3:.2f}ms max={s.max*1e3:.2f}ms "
+                f"std={s.std*1e3:.2f}ms"
             )
         report = "\n".join(lines)
         print(report, flush=True)

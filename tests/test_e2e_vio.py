@@ -44,3 +44,26 @@ def test_pipelined_loop_matches_synchronous():
     n_s = len(res_s["slam"].estimator.landmarks)
     n_p = len(res_p["slam"].estimator.landmarks)
     assert n_p > 0.5 * n_s, (n_s, n_p)
+
+
+@pytest.mark.slow
+def test_pipelined_deep_lag_multiset_append():
+    """Adaptive lag: with TWO frames permanently in flight (the tunnel
+    regime — each [solve|diag] sync costs ~45 ms of latency), every
+    fused solve must append the match rows of BOTH in-flight frames
+    plus the current one on device. Forced via the _force_min_pending
+    test hook; the trajectory must stay close to the synchronous
+    path's."""
+    from okvis2_tpu.pipeline.synthetic_run import run_synthetic_vio
+
+    res_s = run_synthetic_vio(duration=2.0, frame_rate=5.0)
+    res_p = run_synthetic_vio(duration=2.0, frame_rate=5.0,
+                              pipelined=True, force_min_pending=2)
+    assert res_p["frames"] == res_s["frames"]
+    assert res_p["ate_rmse"] < 0.10, res_p["ate_rmse"]
+    assert abs(res_p["ate_rmse"] - res_s["ate_rmse"]) < 0.03, (
+        res_s["ate_rmse"], res_p["ate_rmse"]
+    )
+    n_s = len(res_s["slam"].estimator.landmarks)
+    n_p = len(res_p["slam"].estimator.landmarks)
+    assert n_p > 0.5 * n_s, (n_s, n_p)

@@ -69,7 +69,7 @@ def main(n_frames=30, W=752, H=480):
         t_pf = time.perf_counter() - t0
         k += 1
         if k > 12:
-            out = slam._pending_frame["out"]
+            out = slam._pending_frames[-1]["out"]
             t1 = time.perf_counter()
             jax.block_until_ready(out)
             t_exec = time.perf_counter() - t1

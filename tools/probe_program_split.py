@@ -77,7 +77,9 @@ def main(n_frames=24, W=752, H=480):
         pred = est.states[sid].pose
         t0 = time.perf_counter()
         prep = fe.prepare_frame(est, images, sid, pred)
-        layout, scfg, buf_all = est.prepare_fused_solve(sid, fe.table)
+        sets = [{"sid": sid, "slot_of": dict(fe.table.slot_of)}]
+        layout, scfg, buf_all = est.prepare_fused_solve(
+            sid, fe.table, sets)
         imgs = prep["imgs_u8"]
         n_img = imgs.nbytes
         off_solve = n_img + prep["aux_all"].nbytes
@@ -98,17 +100,19 @@ def main(n_frames=24, W=752, H=480):
         t_frontend = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        from okvis2_tpu.solver.packed_solve import MAX_APPEND_SETS
+        match_sets = [ctx["match"]] * MAX_APPEND_SETS
         out = est.dispatch_fused_solve_carrier(
-            ctx, carrier_dev, off_solve, layout, scfg
-        )
+            match_sets, ctx["diag"], carrier_dev, off_solve, layout,
+            scfg)
         jax.block_until_ready(out)
         t_solve = time.perf_counter() - t0
         # throughput vs latency: 5 more back-to-back solve dispatches
         t0 = time.perf_counter()
         outs = [
             est.dispatch_fused_solve_carrier(
-                ctx, carrier_dev, off_solve, layout, scfg
-            )
+                match_sets, ctx["diag"], carrier_dev, off_solve,
+                layout, scfg)
             for _ in range(5)
         ]
         jax.block_until_ready(outs)
@@ -131,12 +135,12 @@ def main(n_frames=24, W=752, H=480):
 
         th = threading.Thread(target=_fetch, daemon=True)
         th.start()
-        slam._pending_frame = {
+        slam._pending_frames.append({
             "t": t, "sid": sid, "ctx": ctx, "out": out,
             "fetch": (th, fut),
             "slot_of": dict(est._slot_of), "lm_ids": list(est._lm_ids),
             "images": images,
-        }
+        })
         slam.frames_processed += 1
     slam.finish()
 
