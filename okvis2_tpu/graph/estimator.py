@@ -503,11 +503,17 @@ class Estimator:
         its second constraint — excluding it would silently drop that
         match. Unmatched single-obs landmarks cost nothing (their Schur
         block is damped)."""
-        window = set(self.window)
+        # count via the incrementally-maintained state index: O(window
+        # observations), not O(all landmarks x their observations) —
+        # the latter grows with session length and dominated pack_np
+        counts: Dict[int, int] = {}
+        for sid in self.window:
+            for (lid, _c, _k) in self._by_state.get(sid, ()):
+                counts[lid] = counts.get(lid, 0) + 1
         scored = []
-        for lid, lm in self.landmarks.items():
-            n_win = sum(1 for (s, _, _) in lm.obs if s in window)
-            if n_win >= 1 and lm.initialised:
+        for lid, n_win in counts.items():
+            lm = self.landmarks.get(lid)
+            if lm is not None and lm.initialised:
                 scored.append((n_win, lid))
         scored.sort(reverse=True)
         sel = scored[: self.cfg.landmark_slots]
@@ -536,7 +542,11 @@ class Estimator:
             )
             cached = jax.tree_util.tree_map(np.asarray, prob)
             self._np_template_cache = cached
-        return jax.tree_util.tree_map(np.copy, cached)
+        # contract: pack_np treats the template as READ-ONLY scaffold —
+        # every leaf it mutates is copied first (np.array/np.zeros) and
+        # swapped in via dataclasses.replace, so no full-tree copy here
+        # (it was a measurable per-frame host cost)
+        return cached
 
     def pack(self) -> WindowProblem:
         """Device-array problem (compat path for tests/tools); the hot
@@ -967,7 +977,7 @@ class Estimator:
         """Length of solve_packed's flat output for this configuration."""
         c = self.cfg
         return (c.window_slots * 16 + c.landmark_slots * 4
-                + len(self.cameras) * 7 + 4)
+                + len(self.cameras) * 7 + 5)
 
     def take_pending_solve(self):
         """Hand the pending solve's DEVICE output to the caller (to be
@@ -977,9 +987,14 @@ class Estimator:
         self._pending_solve = None
         return pending
 
-    def apply_solved_flat(self, out, slot_of, lm_ids) -> dict:
+    def apply_solved_flat(self, out, slot_of, lm_ids,
+                          T_corr7=None) -> dict:
         """Integrate a solve output (numpy or device flat array) into the
-        host records."""
+        host records. `T_corr7` optionally composes a world-frame rigid
+        correction onto every solved pose/velocity/landmark first: the
+        pipelined loop passes the net relocalisation correction applied
+        AFTER this solve was dispatched, so the (stale) solve doesn't
+        undo the session move (see SlamSystem._note_pose_correction)."""
         import time as _time
 
         from okvis2_tpu.solver.packed_solve import decode_solved
@@ -989,6 +1004,18 @@ class Estimator:
             len(self.cameras),
         )
         self._last_solve_wall = _time.perf_counter() - self._solve_t0
+        if T_corr7 is not None:
+            pose = np.asarray(pose, np.float64).copy()
+            sb = np.asarray(sb, np.float64).copy()
+            lms = np.asarray(lms, np.float64).copy()
+            R = _quat_to_mat_np(T_corr7[3:7])
+            pose[:, :3] = pose[:, :3] @ R.T + T_corr7[:3]
+            pose[:, 3:7] = np.stack([
+                _quat_mul_np(T_corr7[3:7], q) for q in pose[:, 3:7]
+            ])
+            sb[:, :3] = sb[:, :3] @ R.T  # world velocity rotates
+            lms[:, :3] = lms[:, :3] @ R.T \
+                + T_corr7[None, :3] * lms[:, 3:4]
         for sid, i in slot_of.items():
             rec = self.states.get(sid)
             if rec is not None and not rec.frozen:
@@ -1001,6 +1028,13 @@ class Estimator:
         if self.cfg.online_extrinsics:
             self.T_SC = [np.asarray(ext[i], np.float64)
                          for i in range(len(self.T_SC))]
+        if stats.get("n_obs", 0) > self.cfg.obs_slots:
+            _warn_capacity(
+                "obs_append",
+                f"device-appended match rows overflowed obs capacity "
+                f"({stats['n_obs']:.0f} > {self.cfg.obs_slots}): excess "
+                f"matches did not constrain this solve — raise obs_slots",
+            )
         self.update_landmark_quality()
         return stats
 

@@ -46,7 +46,7 @@ from okvis2_tpu.frontend.matching import hamming_distance_matrix, match_descript
 from okvis2_tpu.frontend.p3p import ransac_rig_pose_impl
 from okvis2_tpu.frontend.ransac import ransac_absolute_pose
 from okvis2_tpu.frontend.triangulation import triangulate_in_frames
-from okvis2_tpu.graph.estimator import Estimator
+from okvis2_tpu.graph.estimator import Estimator, _warn_capacity
 
 
 @dataclasses.dataclass(frozen=True)
@@ -407,17 +407,16 @@ def _frame_associate_body(
     # compact the motion-stereo outputs: only the good rows matter to
     # the host (typically tens per frame), and the dense [KF,NC,N]
     # blocks dominate the readback's bytes (~74 KB of ~106 KB)
-    M = 256  # per-frame motion-stereo row budget
     flat_good = ms_good.reshape(-1)
     order = jnp.argsort(~flat_good)  # good rows first (stable)
-    sel = order[:M]
+    sel = order[:_MS_ROWS]
     ms_rows = jnp.concatenate([
         (sel // N)[:, None].astype(jnp.float32),  # k*NC + ci
         (sel % N)[:, None].astype(jnp.float32),  # keyframe kp a
         ms_idx.reshape(-1)[sel][:, None].astype(jnp.float32),  # cur kp b
         ms_hp.reshape(-1, 4)[sel].astype(jnp.float32),
         flat_good[sel][:, None].astype(jnp.float32),
-    ], axis=1)  # [M,8]
+    ], axis=1)  # [_MS_ROWS,8]
 
     # compact the frame-to-frame matches the same way: (ci, prev kp a,
     # current kp b, valid), good rows first
@@ -438,7 +437,12 @@ def _frame_associate_body(
         f32(ff_rows),
         jnp.stack([n_inl.astype(jnp.float32),
                    ransac_ok.astype(jnp.float32),
-                   rot_frac]),
+                   rot_frac,
+                   # TOTAL good row counts: the host warns when they
+                   # exceed the compaction budgets (rows past the
+                   # budget were dropped from this readback)
+                   jnp.sum(flat_good).astype(jnp.float32),
+                   jnp.sum(ff_flat).astype(jnp.float32)]),
         # piggyback: e.g. the PREVIOUS frame's solve output rides this
         # frame's single readback instead of paying its own ~60 ms RPC
         extra_flat.astype(jnp.float32).ravel(),
@@ -612,6 +616,7 @@ def _associate_core(
 
 _FLUSH_U = 512  # staged table updates folded into each fused dispatch
 _FF_ROWS = 256  # per-frame frame-to-frame match row budget (readback)
+_MS_ROWS = 256  # per-frame motion-stereo row budget (readback)
 
 
 def _table_update_body(tab_signs, tab_valid, kp_signs, upd):
@@ -1268,11 +1273,24 @@ class Frontend:
         kp_mask = take(NC * N, (NC, N)) > 0.5
         idx = take(NC * cap, (NC, cap)).astype(np.int32)
         keep = take(NC * cap, (NC, cap)) > 0.5
-        ms_rows = take(256 * 8, (256, 8))
+        ms_rows = take(_MS_ROWS * 8, (_MS_ROWS, 8))
         ff_rows = take(_FF_ROWS * 4, (_FF_ROWS, 4))
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
         rot_frac = float(diag[off + 2])
-        extra_np = diag[off + 3:]
+        ms_total = int(diag[off + 3]); ff_total = int(diag[off + 4])
+        extra_np = diag[off + 5:]
+        if ms_total > _MS_ROWS:
+            _warn_capacity(
+                "ms_rows",
+                f"motion-stereo rows truncated ({ms_total} good > "
+                f"{_MS_ROWS} budget) — raise _MS_ROWS",
+            )
+        if ff_total > _FF_ROWS:
+            _warn_capacity(
+                "ff_rows",
+                f"frame-to-frame match rows truncated ({ff_total} good "
+                f"> {_FF_ROWS} budget) — raise _FF_ROWS",
+            )
 
         frames = [
             {

@@ -108,6 +108,13 @@ class SlamSystem:
             collections.deque()
         )
         self._carrier_np: Optional[np.ndarray] = None
+        # pose-correction epochs: every event that rewrites host poses
+        # OUTSIDE the solve flow (loop-closure drift distribution,
+        # full-graph apply, relocalisation, reinit) appends an entry;
+        # in-flight frames dispatched before the event carry solves
+        # packed from PRE-correction poses and must not undo it
+        self._corr_epoch = 0
+        self._corr_log: List[Optional[np.ndarray]] = []
         self._last_frame_t: Optional[float] = None
         self._callbacks: List[Callable] = []
         self.tracking = TrackingState()
@@ -358,11 +365,20 @@ class SlamSystem:
 
         th = threading.Thread(target=_fetch, daemon=True)
         th.start()
+        rec = getattr(self, "_bench_record", None)
+        if rec is not None:
+            # device-loop bench capture: everything needed to re-dispatch
+            # this frame's program chain with the carrier pre-staged on
+            # device (bench.py replay_device_loop)
+            rec.append({
+                "prep": prep, "carrier": carrier.copy(),
+                "off_solve": off_solve, "layout": layout, "scfg": scfg,
+            })
         self._pending_frames.append({
             "t": t, "sid": sid, "ctx": ctx, "out": out,
             "fetch": (th, fut),
             "slot_of": dict(est._slot_of), "lm_ids": list(est._lm_ids),
-            "images": images,
+            "images": images, "epoch": self._corr_epoch,
         })
         self.frames_processed += 1
         return True
@@ -387,6 +403,38 @@ class SlamSystem:
                 break
             q.popleft()
             self._finish_one(p)
+
+    def _note_pose_correction(self, T_corr7):
+        """Record a host-pose rewrite outside the solve flow. Pass the
+        world-frame left correction 7-vector when the rewrite is RIGID
+        (relocalisation: the whole session moved by one transform), or
+        None when it is not (loop-closure drift distribution grades the
+        correction along the chain; a full-graph solve moves states
+        individually). _finish_one composes rigid corrections onto
+        stale in-flight solves and skips non-rigidly-invalidated ones."""
+        self._corr_log.append(
+            None if T_corr7 is None
+            else np.asarray(T_corr7, np.float64).copy()
+        )
+        self._corr_epoch += 1
+
+    _CORR_SKIP = object()
+
+    def _net_correction_since(self, epoch):
+        """Net pose correction applied since `epoch`: None (nothing),
+        a 7-vector (compose onto the solve), or _CORR_SKIP (a
+        non-rigid rewrite happened — the stale solve must not apply)."""
+        entries = self._corr_log[epoch:]
+        if not entries:
+            return None
+        if any(e is None for e in entries):
+            return SlamSystem._CORR_SKIP
+        from okvis2_tpu.core import se3_np
+
+        net = entries[0]
+        for e in entries[1:]:  # later corrections left-compose
+            net = se3_np.compose7(e, net)
+        return net
 
     def _keyframe_tail(self, sid, frames, images):
         """Host keyframe work that needs the fetched descriptors:
@@ -444,10 +492,14 @@ class SlamSystem:
             self.frontend.finish_keyframe_extras(est, pk)
             loop_old_id = self._keyframe_tail(sid, frames, pk["images"])
         if loop_old_id is not None:
-            self.loop_backend.close_loop(
+            closed = self.loop_backend.close_loop(
                 est, loop_old_id, sid, frames, self.frontend,
                 async_solve=True,
             )
+            if closed:
+                # drift distribution graded poses along the chain: any
+                # in-flight solve packed before it is now stale
+                self._note_pose_correction(None)
 
     def _finish_one(self, p):
         """Consume one in-flight frame's combined [solve | diag] output
@@ -460,7 +512,12 @@ class SlamSystem:
         # a full-graph solve dispatched at the last loop closure lands
         # here, one frame later (its copy crossed in the background)
         if self.loop_backend is not None:
-            self.loop_backend.apply_pending_full_graph(est)
+            fg = self.loop_backend.apply_pending_full_graph(est)
+            if fg is not None:
+                # the full-graph apply moved states individually (plus a
+                # rigid re-anchor of newer ones): older in-flight
+                # realtime solves must not overwrite it
+                self._note_pose_correction(None)
         # the previous keyframe's deferred extras precede this frame's
         # bookkeeping (its staged descriptor sources must stay aligned)
         self._finish_deferred_keyframe()
@@ -475,7 +532,19 @@ class SlamSystem:
         sid = p["sid"]
         with SwitchableTimer("0.2 finish bookkeeping"):
             frames, m = self.frontend.finish_frame(est, p["ctx"], diag_np)
-            est.apply_solved_flat(solve_np, p["slot_of"], p["lm_ids"])
+            corr = self._net_correction_since(
+                p.get("epoch", self._corr_epoch)
+            )
+            if corr is SlamSystem._CORR_SKIP:
+                # a non-rigid pose rewrite (loop closure / full-graph
+                # apply) postdates this frame's dispatch: applying its
+                # solve would revert the corrected poses. Skip it — the
+                # next frame's solve was packed from corrected state.
+                pass
+            else:
+                est.apply_solved_flat(
+                    solve_np, p["slot_of"], p["lm_ids"], T_corr7=corr
+                )
         if est.cfg.online_extrinsics:
             self.frontend.T_SC_np = [r.copy() for r in est.T_SC]
         with SwitchableTimer("0.3 epilogue"):
@@ -667,6 +736,10 @@ class SlamSystem:
                 hp = lm.hp_W
                 p = R @ hp[:3] + T_corr[:3] * hp[3]
                 lm.hp_W = np.concatenate([p, hp[3:4]])
+            # the session moved rigidly: compose the same correction
+            # onto in-flight solves packed before this point (they have
+            # no full-graph backstop, unlike loop closures)
+            self._note_pose_correction(T_corr)
         self.loop_backend._merge_loop_landmarks(
             est, sid, v["pairs"], frames, self.frontend
         )
@@ -688,11 +761,16 @@ class SlamSystem:
         self.frontend.lm_descriptors.clear()
         self.frontend.last_keyframe_id = None
         self._lost_count = 0
+        # landmark map restarted: stale in-flight solves must not apply
+        self._note_pose_correction(None)
 
     # ------------------------------------------------------------------
     def trajectory(self):
-        self._finish_pending()  # pipelined: fold in in-flight frames
-        self._finish_deferred_keyframe()
+        # full drain, INCLUDING a full-graph solve dispatched by the
+        # final keyframe's loop closure — trajectory() is how the
+        # parity/regression drives read ATE, so it must not silently
+        # discard the last loop-closure optimisation
+        self.finish()
         return self.estimator.trajectory()
 
     # ------------------------------------------------------------------

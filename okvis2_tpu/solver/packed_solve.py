@@ -144,6 +144,9 @@ def solve_packed(
             stats["final_cost"].astype(dtype),
             stats["iterations"].astype(dtype),
             stats["lambda"].astype(dtype),
+            # obs rows used (no device appends on this path): keeps the
+            # output layout identical to the fused-carrier solve
+            jnp.sum(problem.obs_mask).astype(dtype),
         ]),
     ])
     return out
@@ -265,6 +268,10 @@ def solve_packed_fused_carrier(
             stats["final_cost"].astype(dtype),
             stats["iterations"].astype(dtype),
             stats["lambda"].astype(dtype),
+            # FINAL obs row count incl. device appends: > obs capacity
+            # means rows were silently dropped by the scatter's
+            # mode="drop" — the host warns on it (apply_solved_flat)
+            n_obs.astype(dtype),
         ]),
         diag.astype(dtype).ravel(),
     ])
@@ -284,5 +291,6 @@ def decode_solved(out, S: int, L: int, NC: int):
     stats = {
         "initial_cost": out[o], "final_cost": out[o + 1],
         "iterations": out[o + 2], "lambda": out[o + 3],
+        "n_obs": out[o + 4],
     }
     return pose, sb, lms, ext, stats

@@ -67,3 +67,59 @@ def test_pipelined_deep_lag_multiset_append():
     n_s = len(res_s["slam"].estimator.landmarks)
     n_p = len(res_p["slam"].estimator.landmarks)
     assert n_p > 0.5 * n_s, (n_s, n_p)
+
+
+@pytest.mark.slow
+def test_pipelined_parity_pose_by_pose():
+    """Deterministic structural parity (not ATE-blurred): (a) two
+    identical pipelined runs with forced deep lag must agree pose-by-
+    pose to float determinism — catches fetch-thread ordering races;
+    (b) after drain, forcing DEEP lag must track the natural-lag
+    pipelined trajectory state-by-state within a tight bound — lag
+    depth must change WHEN bookkeeping happens, not WHAT the estimator
+    computes (the join discipline of ThreadedSlam.cpp:466-469). The
+    sync loop is NOT the reference here: the pipelined loop runs
+    genuinely different math (frame-to-frame continuity matching,
+    lagged solve application) and measurably diverges from it pose-by-
+    pose (~4 cm over this fixture, with BETTER ATE) even at natural
+    lag; sync-vs-pipelined accuracy parity is covered statistically by
+    test_pipelined_loop_matches_synchronous. (c) deep lag must build
+    the same per-state observation counts as natural lag within a
+    small delta (device-appended match rows all land after drain)."""
+    from okvis2_tpu.pipeline.synthetic_run import run_synthetic_vio
+
+    kw = dict(duration=2.0, frame_rate=5.0)
+    res_p1 = run_synthetic_vio(pipelined=True, force_min_pending=2, **kw)
+    res_p2 = run_synthetic_vio(pipelined=True, force_min_pending=2, **kw)
+    tr1, tr2 = res_p1["est_traj"], res_p2["est_traj"]
+    assert len(tr1) == len(tr2)
+    for (t1, p1), (t2, p2) in zip(tr1, tr2):
+        assert t1 == t2
+        # identical inputs + identical schedule => identical math; the
+        # background fetch threads must not change results
+        assert np.allclose(p1, p2, atol=1e-12), (t1, p1 - p2)
+
+    res_s = run_synthetic_vio(pipelined=True, **kw)
+    tr_s = res_s["est_traj"]
+    assert len(tr1) == len(tr_s)
+    dps = [
+        float(np.linalg.norm(p1[:3] - ps[:3]))
+        for (_t, p1), (_t2, ps) in zip(tr1, tr_s)
+    ]
+    # lag-depth differences reschedule solve application: measured
+    # profile is a ~2.3 cm transient at the frame where the forced lag
+    # first delays solve application (t=0.6), decaying to ~1.2 cm at
+    # drain. Ordering bugs (stale slot maps, misaligned staged
+    # descriptors) move poses an order of magnitude more
+    assert max(dps) < 0.035, f"pose-by-pose divergence {max(dps)}"
+    assert dps[-1] < 0.02, f"steady-state divergence {dps[-1]}"
+
+    # per-state observation counts: the device-appended matches must
+    # land as host observations after drain, like the sync loop's
+    est_p, est_s = res_p1["slam"].estimator, res_s["slam"].estimator
+    for sid in est_s.states:
+        if sid not in est_p.states:
+            continue
+        n_s = len(list(est_s.obs_of_state(sid)))
+        n_p = len(list(est_p.obs_of_state(sid)))
+        assert n_p >= 0.7 * n_s - 5, (sid, n_s, n_p)
