@@ -23,14 +23,22 @@ import numpy as np
 
 
 def collect_descriptors(n_scenes: int = 24, per_scene: int = 512,
-                        seed0: int = 100) -> np.ndarray:
+                        seed0: int = 100,
+                        textured_frac: float = 0.75) -> np.ndarray:
+    """Pool descriptors over many scenes. Most scenes are TEXTURED
+    worlds (noise-textured surfaces, occluders, exposure variation —
+    the descriptor statistics of real imagery); a minority stay star
+    fields so sparse/high-contrast scenes remain represented."""
     from okvis2_tpu.frontend.descriptor import describe_keypoints
     from okvis2_tpu.frontend.detection import (
         DetectionConfig,
         detect_keypoints,
     )
     from okvis2_tpu.imu.preintegration import ImuParameters
-    from okvis2_tpu.pipeline.dataset import SyntheticDataset
+    from okvis2_tpu.pipeline.dataset import (
+        SyntheticDataset,
+        TexturedWorldDataset,
+    )
     from okvis2_tpu.pipeline.synthetic_run import small_rig
 
     import jax.numpy as jnp
@@ -40,11 +48,19 @@ def collect_descriptors(n_scenes: int = 24, per_scene: int = 512,
     det_cfg = DetectionConfig(max_keypoints=per_scene)
     rng = np.random.default_rng(0)
     pool = []
+    n_tex = int(round(n_scenes * textured_frac))
     for k in range(n_scenes):
-        ds = SyntheticDataset(
-            cams, exts, imu, seed=seed0 + k,
-            n_stars=int(rng.integers(800, 5000)),
-        )
+        if k < n_tex:
+            ds = TexturedWorldDataset(
+                cams, exts, imu, seed=seed0 + k,
+                exposure_amp=float(rng.uniform(0.0, 0.25)),
+                n_occluders=int(rng.integers(1, 5)),
+            )
+        else:
+            ds = SyntheticDataset(
+                cams, exts, imu, seed=seed0 + k,
+                n_stars=int(rng.integers(800, 5000)),
+            )
         # varied viewpoint per scene
         ang = rng.uniform(-0.3, 0.3)
         pose = np.array([

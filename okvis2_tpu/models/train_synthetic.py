@@ -60,7 +60,55 @@ def make_scene(rng, H=192, W=320):
     return np.stack([img] * 3, axis=-1).astype(np.float32), lab
 
 
-def train(steps=400, out_path=None, batch=4, seed=0, lr=1e-3):
+def make_textured_pool(n_scenes=8, views_per=3, seed=1,
+                       H=192, W=320):
+    """Pre-render (image, label) pairs from the 3D textured world
+    (okvis2_tpu/pipeline/dataset.py::TexturedWorldDataset): noise-
+    textured surfaces, TRUE occlusion boundaries, a featureless-bright
+    "sky" ceiling (class 10) and a dark "person" occluder quad (class
+    11), under exposure variation — geometry-grounded training data the
+    2D proxy scenes lack."""
+    import jax.numpy as jnp
+
+    from okvis2_tpu.cameras.distortion import RadialTangentialDistortion
+    from okvis2_tpu.cameras.pinhole import PinholeCamera
+    from okvis2_tpu.core.se3 import Transformation
+    from okvis2_tpu.imu.preintegration import ImuParameters
+    from okvis2_tpu.pipeline.dataset import TexturedWorldDataset
+
+    cam = PinholeCamera.create(
+        W, H, 170.0, 170.0, W / 2.0, H / 2.0,
+        RadialTangentialDistortion.from_params([0.0, 0.0, 0.0, 0.0]),
+    )
+    T0 = Transformation.identity(dtype=cam.focal.dtype)
+    rng = np.random.default_rng(seed)
+    pool = []
+    for k in range(n_scenes):
+        ds = TexturedWorldDataset(
+            (cam,), [T0], ImuParameters.create(g=9.81), seed=seed + k,
+            exposure_amp=float(rng.uniform(0.0, 0.25)),
+            n_occluders=int(rng.integers(1, 4)),
+        )
+        for _v in range(views_per):
+            # viewpoints that keep ceiling ("sky") and occluders in view
+            ang = rng.uniform(-0.35, 0.1)  # pitch up a bit
+            pose = np.array([
+                rng.uniform(-1.5, 3.0), rng.uniform(-1.0, 2.0),
+                rng.uniform(-1.0, 2.0),
+                np.sin(ang / 2), 0.0, 0.0, np.cos(ang / 2),
+            ])
+            im, lab = ds.render_with_labels(pose)[0]
+            lab = np.where(lab < 0, 2, lab)  # no-hit -> "building"
+            lab = np.where(lab == 0, 2, lab)  # background -> "building"
+            pool.append((
+                np.stack([im] * 3, axis=-1).astype(np.float32),
+                lab.astype(np.int32),
+            ))
+    return pool
+
+
+def train(steps=400, out_path=None, batch=4, seed=0, lr=1e-3,
+          textured_frac=0.5):
     import jax
     import jax.numpy as jnp
     import optax
@@ -72,6 +120,9 @@ def train(steps=400, out_path=None, batch=4, seed=0, lr=1e-3):
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     rng = np.random.default_rng(seed)
+    tex_pool = make_textured_pool(seed=seed + 1) if textured_frac > 0 \
+        else []
+    print(f"textured pool: {len(tex_pool)} rendered views", flush=True)
 
     @jax.jit
     def step(params, opt_state, imgs, labs):
@@ -90,7 +141,18 @@ def train(steps=400, out_path=None, batch=4, seed=0, lr=1e-3):
         imgs = []
         labs = []
         for _ in range(batch):
-            im, lb = make_scene(rng)
+            if tex_pool and rng.uniform() < textured_frac:
+                im, lb = tex_pool[rng.integers(len(tex_pool))]
+                # photometric augmentation on the cached render
+                im = np.clip(
+                    im * rng.uniform(0.85, 1.15)
+                    + 0.02 * rng.standard_normal(im.shape).astype(
+                        np.float32
+                    ),
+                    0, 1,
+                )
+            else:
+                im, lb = make_scene(rng)
             imgs.append(im)
             labs.append(lb)
         imgs = jnp.asarray(np.stack(imgs))
@@ -99,7 +161,7 @@ def train(steps=400, out_path=None, batch=4, seed=0, lr=1e-3):
         if it % 25 == 0:
             print(f"step {it}: loss {float(loss):.4f}", flush=True)
 
-    # eval pixel accuracy on fresh scenes
+    # eval pixel accuracy on fresh 2D scenes AND held-out textured views
     from okvis2_tpu.models.fast_scnn import segment_image
 
     accs = []
@@ -108,7 +170,17 @@ def train(steps=400, out_path=None, batch=4, seed=0, lr=1e-3):
         seg = np.asarray(segment_image(params, jnp.asarray(im)))
         accs.append((seg == lb).mean())
     acc = float(np.mean(accs))
-    print(f"pixel accuracy: {acc:.3f}")
+    acc_tex = float("nan")
+    if tex_pool:
+        tex_eval = make_textured_pool(n_scenes=2, views_per=2,
+                                      seed=seed + 999)
+        taccs = [
+            (np.asarray(segment_image(params, jnp.asarray(im))) == lb)
+            .mean()
+            for im, lb in tex_eval
+        ]
+        acc_tex = float(np.mean(taccs))
+    print(f"pixel accuracy: 2d {acc:.3f}  textured {acc_tex:.3f}")
     if out_path:
         save_params(out_path, params)
         print(f"saved {out_path}")

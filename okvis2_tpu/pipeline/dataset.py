@@ -379,3 +379,252 @@ class SyntheticDataset:
     def ground_truth(self, t: float) -> np.ndarray:
         T_gt, _ = self.syn.true_state(t)
         return np.concatenate([np.asarray(T_gt.r), np.asarray(T_gt.q)])
+
+
+def _upsample_bilinear(g: np.ndarray, T: int) -> np.ndarray:
+    """Separable bilinear upsample of a square grid to T x T (numpy)."""
+    o = g.shape[0]
+    x = np.linspace(0.0, o - 1.0, T)
+    x0 = np.floor(x).astype(int)
+    x1 = np.minimum(x0 + 1, o - 1)
+    fx = (x - x0).astype(np.float32)
+    rows = g[x0] * (1 - fx)[:, None] + g[x1] * fx[:, None]
+    out = rows[:, x0] * (1 - fx)[None, :] + rows[:, x1] * fx[None, :]
+    return out
+
+
+def _noise_texture(rng, T: int = 512,
+                   octaves=(4, 8, 16, 32, 64, 128),
+                   amp_decay: float = 0.55) -> np.ndarray:
+    """Multi-octave value-noise texture: features at many scales (coarse
+    blobs down to fine grain), the statistics real detectors/descriptors
+    care about — unlike the star field's dots-on-black."""
+    img = np.zeros((T, T), np.float32)
+    amp = 1.0
+    for o in octaves:
+        img += amp * _upsample_bilinear(
+            rng.standard_normal((o, o)).astype(np.float32), T
+        )
+        amp *= amp_decay
+    lo, hi = img.min(), img.max()
+    img = (img - lo) / max(hi - lo, 1e-9)
+    return 0.1 + 0.85 * img
+
+
+class TexturedWorldDataset(SyntheticDataset):
+    """Textured-surface renderer: a room of noise-textured planes plus
+    floating occluder quads, rendered by ray-plane intersection with a
+    z-buffer (TRUE occlusion) and per-frame exposure variation. This is
+    the realism fixture the star field lacks (textured surfaces,
+    occlusion boundaries, photometric change — the descriptor-quality
+    regime of real sequences, SURVEY.md §7 hard part (d)).
+
+    One jitted dispatch per camera; `render_with_labels` additionally
+    returns the per-pixel plane-class map (0 background / 10 "sky"
+    ceiling / 11 "person" occluder — cityscapes ids as consumed by the
+    reference's fast-scnn gate, okvis_cv/src/Frame.cpp:46-147), used to
+    train the Flax fast-scnn on this world.
+    """
+
+    # cityscapes-id convention of the reference CNN gate
+    CLASS_BACKGROUND, CLASS_SKY, CLASS_PERSON = 0, 10, 11
+
+    def __init__(
+        self,
+        cameras,
+        extrinsics,
+        imu_params,
+        duration: float = 10.0,
+        frame_rate: float = 10.0,
+        imu_rate: float = 200.0,
+        seed: int = 0,
+        imu_noise: float = 0.0,
+        trajectory: str = "default",
+        tex_size: int = 512,
+        exposure_amp: float = 0.15,
+        sky_ceiling: bool = True,
+        n_occluders: int = 3,
+    ):
+        super().__init__(
+            cameras, extrinsics, imu_params, n_stars=1,
+            duration=duration, frame_rate=frame_rate, imu_rate=imu_rate,
+            seed=seed, imu_noise=imu_noise, trajectory=trajectory,
+        )
+        rng = np.random.default_rng(seed + 7)
+        self.exposure_amp = exposure_amp
+        # the room encloses the canonical trajectories (stars lived in
+        # x[-6,10], y[-6,6], z[2,12]): 5 walls + floating occluders
+        p0s, eus, evs, classes = [], [], [], []
+
+        def add_plane(p0, eu, ev, cls):
+            p0s.append(p0); eus.append(eu); evs.append(ev)
+            classes.append(cls)
+
+        add_plane([-6, -6, 12], [16, 0, 0], [0, 12, 0],
+                  self.CLASS_BACKGROUND)              # back wall z=12
+        add_plane([-6, -6, -4], [0, 12, 0], [16, 0, 0],
+                  self.CLASS_BACKGROUND)              # front wall z=-4
+        add_plane([-6, -6, -4], [0, 0, 16], [0, 12, 0],
+                  self.CLASS_BACKGROUND)              # left wall x=-6
+        add_plane([10, -6, -4], [0, 12, 0], [0, 0, 16],
+                  self.CLASS_BACKGROUND)              # right wall x=10
+        add_plane([-6, 6, -4], [16, 0, 0], [0, 0, 16],
+                  self.CLASS_BACKGROUND)              # floor y=+6
+        add_plane([-6, -6, -4], [0, 0, 16], [16, 0, 0],
+                  self.CLASS_SKY if sky_ceiling
+                  else self.CLASS_BACKGROUND)         # ceiling y=-6
+        for k in range(n_occluders):
+            c = np.array([
+                rng.uniform(-3, 6), rng.uniform(-3, 3),
+                rng.uniform(4.0, 8.0),
+            ])
+            w, h = rng.uniform(0.8, 2.0), rng.uniform(1.2, 2.6)
+            ang = rng.uniform(0, 2 * np.pi)
+            u = np.array([np.cos(ang), np.sin(ang), 0.0]) * w
+            v = np.array([0.0, 1.0, 0.0]) * h  # upright quad
+            add_plane(c - u / 2 - v / 2, u, v,
+                      self.CLASS_PERSON if k == 0
+                      else self.CLASS_BACKGROUND)
+        self.plane_p0 = np.asarray(p0s, np.float32)
+        self.plane_eu = np.asarray(eus, np.float32)
+        self.plane_ev = np.asarray(evs, np.float32)
+        self.plane_class = np.asarray(classes, np.int32)
+        P = len(p0s)
+        self.textures = np.stack([
+            _noise_texture(rng, tex_size) for _ in range(P)
+        ])
+        if sky_ceiling:
+            # featureless bright "sky": a faint vertical gradient only
+            g = np.linspace(0.92, 1.0, tex_size, dtype=np.float32)
+            self.textures[5] = np.broadcast_to(
+                g[:, None], (tex_size, tex_size)
+            ).copy()
+        # darker "person" occluder (class contrast for the CNN task)
+        self.textures[6 % P] = 0.12 + 0.25 * self.textures[6 % P]
+
+    def _render_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        if hasattr(self, "_tex_render"):
+            return self._tex_render
+        from okvis2_tpu.core import so3
+
+        def render_one(cam_rays, T_WS7, T_SC7, p0, eu, ev, tex, gain):
+            R_WS = so3.quat_to_matrix(T_WS7[3:7])
+            R_SC = so3.quat_to_matrix(T_SC7[3:7])
+            R_WC = R_WS @ R_SC
+            o_W = T_WS7[:3] + R_WS @ T_SC7[:3]
+            d = cam_rays @ R_WC.T  # [HW,3]
+            n = jnp.cross(eu, ev)
+            n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)  # [P,3]
+            denom = d @ n.T  # [HW,P]
+            tnum = (p0 - o_W[None, :]) @ n.T  # [P,P] -> diag? no:
+            tnum = jnp.sum((p0 - o_W[None, :]) * n, axis=-1)  # [P]
+            tt = tnum[None, :] / jnp.where(
+                jnp.abs(denom) < 1e-9, jnp.inf, denom
+            )
+            X = o_W[None, None, :] + tt[..., None] * d[:, None, :]
+            rel = X - p0[None, :, :]
+            uu = jnp.sum(rel * eu[None], -1) / jnp.sum(eu * eu, -1)[None]
+            vv = jnp.sum(rel * ev[None], -1) / jnp.sum(ev * ev, -1)[None]
+            ok = (
+                (tt > 0.2) & (uu >= 0) & (uu <= 1) & (vv >= 0) & (vv <= 1)
+            )
+            tt = jnp.where(ok, tt, 1e9)
+            k = jnp.argmin(tt, axis=1)  # [HW] z-buffer
+            ar = jnp.arange(tt.shape[0])
+            hit = tt[ar, k] < 1e8
+            Tsz = tex.shape[1]
+            px = jnp.clip(uu[ar, k], 0, 1) * (Tsz - 1)
+            py = jnp.clip(vv[ar, k], 0, 1) * (Tsz - 1)
+            x0 = jnp.floor(px).astype(jnp.int32)
+            y0 = jnp.floor(py).astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, Tsz - 1)
+            y1 = jnp.minimum(y0 + 1, Tsz - 1)
+            fx, fy = px - x0, py - y0
+            v00 = tex[k, y0, x0]
+            v01 = tex[k, y0, x1]
+            v10 = tex[k, y1, x0]
+            v11 = tex[k, y1, x1]
+            val = (
+                v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+                + v10 * (1 - fx) * fy + v11 * fx * fy
+            )
+            img = jnp.where(hit, val, 0.0)
+            img = jnp.clip(img * gain, 0.0, 1.0)
+            return img, jnp.where(hit, k, -1)
+
+        self._tex_render = jax.jit(render_one)
+        return self._tex_render
+
+    def _cam_rays(self, ci: int):
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_rays_cache", {})
+        if ci not in cache:
+            cam = self.cameras[ci]
+            H, W = cam.height, cam.width
+            u, v = np.meshgrid(
+                np.arange(W, dtype=np.float32) + 0.5,
+                np.arange(H, dtype=np.float32) + 0.5,
+            )
+            uv = jnp.asarray(
+                np.stack([u.ravel(), v.ravel()], -1)
+            )
+            rays = cam.back_project(uv)
+            cache[ci] = rays.astype(jnp.float32)
+            self._rays_cache = cache
+            self._T_SC7_np = [
+                np.concatenate([np.asarray(T.r), np.asarray(T.q)])
+                .astype(np.float32)
+                for T in self.extrinsics
+            ]
+        return cache[ci]
+
+    def _gain_at(self, t: float) -> float:
+        # smooth exposure variation (auto-exposure/lighting changes)
+        return float(
+            1.0 + self.exposure_amp * np.sin(0.9 * t + 0.7)
+        )
+
+    def render(self, T_WS) -> List[np.ndarray]:
+        return [im for im, _lab in self._render_all(T_WS)]
+
+    def render_with_labels(self, T_WS):
+        """[(image [H,W] float, class map [H,W] int: -1 no-hit else
+        cityscapes id)] per camera — the CNN training fixture."""
+        return [
+            (im, self.plane_class[np.maximum(lab, 0)] * (lab >= 0)
+             + (-1) * (lab < 0))
+            for im, lab in self._render_all(T_WS)
+        ]
+
+    def _render_all(self, T_WS):
+        import jax
+        import jax.numpy as jnp
+
+        fn = self._render_fn()
+        i = getattr(self, "_frame_i", 0)
+        self._frame_i = i + 1
+        gain = self._gain_at(i / self.frame_rate)
+        out = []
+        for ci, cam in enumerate(self.cameras):
+            rays = self._cam_rays(ci)
+            img, lab = jax.device_get(fn(
+                rays, jnp.asarray(np.asarray(T_WS, np.float32)),
+                jnp.asarray(self._T_SC7_np[ci]),
+                jnp.asarray(self.plane_p0), jnp.asarray(self.plane_eu),
+                jnp.asarray(self.plane_ev), jnp.asarray(self.textures),
+                jnp.float32(gain),
+            ))
+            H, W = cam.height, cam.width
+            out.append((
+                np.asarray(img, np.float32).reshape(H, W),
+                np.asarray(lab, np.int32).reshape(H, W),
+            ))
+        return out
+
+    def stream(self) -> Iterator[tuple]:
+        self._frame_i = 0  # exposure model follows the frame clock
+        yield from super().stream()

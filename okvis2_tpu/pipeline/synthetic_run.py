@@ -56,6 +56,7 @@ def run_synthetic_vio(
     pipelined: bool = False,
     rig=None,
     force_min_pending: int = 0,
+    dataset: str = "stars",
 ):
     """Returns dict with ate, trajectories, timing breakdown. `rig`
     optionally injects a (cameras, extrinsics) pair (fisheye /
@@ -64,7 +65,9 @@ def run_synthetic_vio(
     in flight in the pipelined loop (test hook: exercises the
     multi-set device-side match append deterministically — on CPU the
     background fetches complete so fast the adaptive lag rarely
-    exceeds one frame)."""
+    exceeds one frame). `dataset="textured"` swaps the star-field
+    renderer for the textured-world one (noise-textured surfaces, true
+    occlusion, exposure variation — the realistic-imagery regime)."""
     cams, exts = rig if rig is not None else small_rig(width, height)
     imu_params = ImuParameters.create(g=9.81)
     if estimator_config is None:
@@ -82,15 +85,25 @@ def run_synthetic_vio(
                       pipelined=pipelined)
     if force_min_pending:
         slam._force_min_pending = force_min_pending
-    ds = SyntheticDataset(
-        cams, exts, imu_params,
-        duration=duration, frame_rate=frame_rate, imu_noise=imu_noise,
-        trajectory=trajectory, n_stars=n_stars,
-    )
+    if dataset == "textured":
+        from okvis2_tpu.pipeline.dataset import TexturedWorldDataset
+
+        ds = TexturedWorldDataset(
+            cams, exts, imu_params,
+            duration=duration, frame_rate=frame_rate,
+            imu_noise=imu_noise, trajectory=trajectory,
+        )
+    else:
+        ds = SyntheticDataset(
+            cams, exts, imu_params,
+            duration=duration, frame_rate=frame_rate,
+            imu_noise=imu_noise, trajectory=trajectory, n_stars=n_stars,
+        )
 
     gt_traj = []
     t_start = time.time()
     frame_times = []
+    lc_frames = []  # frame indices whose host work ran a loop closure
     n = 0
     for ev in ds.stream():
         if ev[0] == "imu":
@@ -99,9 +112,14 @@ def run_synthetic_vio(
             _, t, images, pose_gt = ev
             gt_traj.append((t, pose_gt))
             slam.add_images(t, images)
+            lc0 = (slam.loop_backend.num_loop_closures
+                   if slam.loop_backend else 0)
             t0 = time.time()
             slam.process_frame()
             frame_times.append(time.time() - t0)
+            if (slam.loop_backend is not None
+                    and slam.loop_backend.num_loop_closures > lc0):
+                lc_frames.append(n)
             n += 1
             if verbose:
                 est_pose = slam.estimator.states[
@@ -129,6 +147,7 @@ def run_synthetic_vio(
         "gt_traj": gt_traj,
         "wall_time": time.time() - t_start,
         "frame_times": frame_times,
+        "lc_frames": lc_frames,
         "frames": n,
         "slam": slam,
     }
