@@ -147,29 +147,76 @@ class LoopClosureBackend:
         return k
 
     # ------------------------------------------------------------------
+    def _cos_half_fov(self) -> float:
+        cached = getattr(self, "_cos_half_fov_v", None)
+        if cached is None:
+            cam = self.cameras[0]
+            f = np.asarray(cam.focal, np.float64)
+            half = float(np.arctan(np.hypot(
+                0.5 * cam.width / f[0], 0.5 * cam.height / f[1]
+            )))
+            cached = float(np.cos(half))
+            self._cos_half_fov_v = cached
+        return cached
+
     def _pr_eligible(self, estimator: Estimator, sid: int,
-                     min_dist: float = 0.25,
-                     min_angle: float = 0.25) -> bool:
-        """prunePlaceRecognitionFrames role (ViSlamBackend.cpp:2276-2309):
-        a keyframe seeing essentially the same view as an existing
-        place-recognition frame adds no recall and bloats the database.
-        The reference computes projected-view overlapFraction; the proxy
-        here is view similarity — prune only when BOTH position and
-        viewing direction are close to a stored PR frame (a tracking-
-        landmark-share test would prune almost every keyframe of a
-        continuously tracked sweep and starve the database)."""
-        pose = estimator.states[sid].pose
-        fwd = se3_np.quat_to_mat(pose[3:7])[:, 2]  # optical axis (cam z)
-        for prev in self._pr_ids[-8:]:
+                     max_overlap: float = 0.6,
+                     max_ray_angle: float = 0.05) -> bool:
+        """prunePlaceRecognitionFrames parity (ViSlamBackend.cpp:
+        2276-2309: overlapFraction > 0.6 drops the frame from DBoW
+        eligibility): a candidate keyframe's observed landmark is
+        "covered" by a stored PR frame when it lies in that frame's
+        viewing cone AND is seen from nearly the same ray direction
+        (< max_ray_angle of parallax — hovering in place is covered, a
+        real baseline is not, mirroring the reference's projected-hull
+        overlap shrinking with viewpoint change; 0.05 rad keeps ~1 m
+        displacements at ~10 m scene depth as distinct views). When any stored
+        frame covers > max_overlap of the view, adding the candidate
+        gains no recall and bloats the database — this bounds growth on
+        arbitrarily long revisiting trajectories, which the previous
+        last-8 proxy did not. Vectorised numpy over ALL stored frames
+        at PR-frame granularity."""
+        rec_c = estimator.states[sid]
+        pts = []
+        for (lid, _ci, _kp) in estimator.obs_of_state(sid):
+            lm = estimator.landmarks.get(lid)
+            if lm is not None:
+                hp = lm.hp_W
+                w = hp[3] if abs(hp[3]) > 1e-12 else 1e-12
+                pts.append(hp[:3] / w)
+        if len(pts) < 8:
+            return True  # too few points to judge overlap
+        p = np.asarray(pts)  # [n,3]
+        R_SC0 = se3_np.quat_to_mat(self.T_SC_np[0, 3:7])
+        r_SC0 = self.T_SC_np[0, :3]
+        R_WSc = se3_np.quat_to_mat(rec_c.pose[3:7])
+        o_c = rec_c.pose[:3] + R_WSc @ r_SC0
+        ray_c = p - o_c[None, :]
+        ray_c = ray_c / np.maximum(
+            np.linalg.norm(ray_c, axis=-1, keepdims=True), 1e-9
+        )
+        fwds, origins = [], []
+        for prev in self._pr_ids:
             rec = estimator.states.get(prev)
             if rec is None:
                 continue
-            d = np.linalg.norm(rec.pose[:3] - pose[:3])
-            fwd_p = se3_np.quat_to_mat(rec.pose[3:7])[:, 2]
-            ang = float(np.arccos(np.clip(fwd @ fwd_p, -1.0, 1.0)))
-            if d < min_dist and ang < min_angle:
-                return False
-        return True
+            R_WS = se3_np.quat_to_mat(rec.pose[3:7])
+            origins.append(rec.pose[:3] + R_WS @ r_SC0)
+            fwds.append(R_WS @ R_SC0[:, 2])  # cam0 optical axis
+        if not origins:
+            return True
+        o = np.stack(origins)  # [P,3]
+        f = np.stack(fwds)  # [P,3]
+        rel = p[None, :, :] - o[:, None, :]  # [P,n,3]
+        dist = np.maximum(np.linalg.norm(rel, axis=-1), 1e-9)
+        z = np.einsum("pnk,pk->pn", rel, f)
+        in_cone = (z > 0.2) & (z > self._cos_half_fov() * dist)
+        ray_dot = np.einsum(
+            "pnk,nk->pn", rel / dist[..., None], ray_c
+        )
+        same_view = ray_dot > np.cos(max_ray_angle)
+        overlap = (in_cone & same_view).mean(axis=1)  # [P]
+        return float(overlap.max()) <= max_overlap
 
     @staticmethod
     def _stack_frames(frames):
@@ -691,29 +738,66 @@ class LoopClosureBackend:
         ]
         S = _pow2_at_least(len(ids), 32)
         slot_of = {s: i for i, s in enumerate(ids)}
+        # sid -> slot as a lookup array: the observation pass below runs
+        # on each landmark's CACHED row block (LandmarkRecord.packed_rows,
+        # rebuilt only when that landmark's observations changed) with
+        # numpy filtering — the previous per-observation Python loop made
+        # every loop-closure frame O(whole graph) host time
+        max_sid = max(ids) if ids else 0
+        slot_lookup = np.full(max_sid + 1, -1, np.int32)
+        for s, i in slot_of.items():
+            slot_lookup[s] = i
 
         # landmarks observed by >= 2 packed states
-        lm_ids = []
+        lm_ids, lm_chunks = [], []
         for lid, lm in estimator.landmarks.items():
-            n = sum(1 for (s, _, _) in lm.obs if s in slot_of)
-            if n >= 2 and lm.initialised:
-                lm_ids.append(lid)
-        lm_ids = lm_ids[: cfg.max_reactivated_landmarks]
+            if not lm.initialised:
+                continue
+            rows = lm.packed_rows()  # [n,5] sid,cam,u,v,8/size
+            if len(rows) < 2:
+                continue
+            sids = rows[:, 0].astype(np.int64)
+            sl = np.where(
+                sids <= max_sid,
+                slot_lookup[np.minimum(sids, max_sid)], -1,
+            )
+            m = sl >= 0
+            if np.count_nonzero(m) < 2:
+                continue
+            lm_ids.append(lid)
+            w_scale = float(np.sqrt(lm.info_scale))
+            r = rows[m]
+            lm_chunks.append((sl[m], r[:, 1], r[:, 2:4],
+                              r[:, 4] * w_scale))
+            if len(lm_ids) >= cfg.max_reactivated_landmarks:
+                break
         L = _pow2_at_least(max(len(lm_ids), 1), 64)
         lm_slot = {lid: i for i, lid in enumerate(lm_ids)}
 
-        n_obs = 0
-        obs_rows = []
-        for lid in lm_ids:
-            lm = estimator.landmarks[lid]
-            w_scale = float(np.sqrt(lm.info_scale))
-            for (s, ci, _kp), (u, vv, size) in lm.obs.items():
-                if s in slot_of and n_obs < cfg.max_reactivated_obs:
-                    obs_rows.append(
-                        (slot_of[s], ci, lm_slot[lid], u, vv,
-                         8.0 / size * w_scale)
-                    )
-                    n_obs += 1
+        if lm_chunks:
+            o_state_v = np.concatenate([c[0] for c in lm_chunks])
+            o_cam_v = np.concatenate([c[1] for c in lm_chunks]).astype(
+                np.int32
+            )
+            o_lm_v = np.concatenate([
+                np.full(len(c[0]), i, np.int32)
+                for i, c in enumerate(lm_chunks)
+            ])
+            o_uv_v = np.concatenate([c[2] for c in lm_chunks])
+            o_w_v = np.concatenate([c[3] for c in lm_chunks])
+        else:
+            o_state_v = np.zeros(0, np.int32)
+            o_cam_v = np.zeros(0, np.int32)
+            o_lm_v = np.zeros(0, np.int32)
+            o_uv_v = np.zeros((0, 2))
+            o_w_v = np.zeros(0)
+        if len(o_state_v) > cfg.max_reactivated_obs:
+            o_state_v = o_state_v[: cfg.max_reactivated_obs]
+            o_cam_v = o_cam_v[: cfg.max_reactivated_obs]
+            o_lm_v = o_lm_v[: cfg.max_reactivated_obs]
+            o_uv_v = o_uv_v[: cfg.max_reactivated_obs]
+            o_w_v = o_w_v[: cfg.max_reactivated_obs]
+        n_obs = len(o_state_v)
         O = _pow2_at_least(max(n_obs, 1), 256)
 
         n_rel = sum(
@@ -748,13 +832,12 @@ class LoopClosureBackend:
         o_uv = np.zeros((O, 2))
         o_w = np.ones(O)
         o_mask = np.zeros(O, bool)
-        for k, (si, ci, li, u, vv, w) in enumerate(obs_rows):
-            o_state[k] = si
-            o_cam[k] = ci
-            o_lm[k] = li
-            o_uv[k] = (u, vv)
-            o_w[k] = w
-            o_mask[k] = True
+        o_state[:n_obs] = o_state_v
+        o_cam[:n_obs] = o_cam_v
+        o_lm[:n_obs] = o_lm_v
+        o_uv[:n_obs] = o_uv_v
+        o_w[:n_obs] = o_w_v
+        o_mask[:n_obs] = True
 
         # IMU links between consecutive packed states where buffers chain
         imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)

@@ -192,28 +192,47 @@ def test_loop_states_rejoin_window(rig):
 
 
 def test_place_recognition_pruning(rig):
-    """prunePlaceRecognitionFrames (ViSlamBackend.cpp:2276-2309): a
-    keyframe with essentially the same view (position AND viewing
-    direction) as a stored PR frame is not added to the database; a
-    displaced or rotated one is."""
+    """prunePlaceRecognitionFrames (ViSlamBackend.cpp:2276-2309):
+    projected overlap-fraction semantics — a keyframe whose OBSERVED
+    landmarks a stored PR frame already covers from essentially the
+    same ray directions is not added to the database; a displaced
+    frame (real parallax) or a rotated one (mostly new landmarks) is."""
     cams, exts, imu_params = rig
     est = Estimator(cams, exts, imu_params, EstimatorConfig())
     lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
-    s0 = est.add_state(0.0, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
-    s1 = est.add_state(0.5, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
-    s2 = est.add_state(1.0, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
-    s3 = est.add_state(1.5, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0))
-    est.states[s0].pose = np.array([0.0, 0, 0, 0, 0, 0, 1.0])
-    est.states[s1].pose = np.array([0.02, 0.01, 0, 0, 0, 0, 1.0])  # same view
-    est.states[s2].pose = np.array([1.0, 0, 0, 0, 0, 0, 1.0])  # moved 1 m
-    ang = 0.3  # rotated ~34 deg in place
-    est.states[s3].pose = np.array(
-        [0.0, 0, 0, 0.0, np.sin(ang), 0.0, np.cos(ang)]
-    )
+
+    # wall A straight ahead of the origin at z=5
+    wall_a = [
+        est.add_landmark([float(x), float(y), 5.0, 1.0],
+                         initialised=True)
+        for x in np.linspace(-2, 2, 5) for y in np.linspace(-1.5, 1.5, 3)
+    ]
+    # wall B along the rotated view direction, outside wall A's frustum
+    wall_b = [
+        est.add_landmark([3.5 + float(x), float(y), 4.0, 1.0],
+                         initialised=True)
+        for x in np.linspace(-0.5, 1.5, 5)
+        for y in np.linspace(-1.5, 1.5, 3)
+    ]
+
+    def state(t, pose7, obs):
+        sid = est.add_state(t, np.zeros((0, 3)), np.zeros((0, 3)),
+                            np.zeros(0))
+        est.states[sid].pose = np.asarray(pose7, np.float64)
+        for kp, lid in enumerate(obs):
+            est.add_observation(lid, sid, 0, kp, (100.0, 100.0), 9.0)
+        return sid
+
+    s0 = state(0.0, [0.0, 0, 0, 0, 0, 0, 1.0], wall_a)
+    s1 = state(0.5, [0.02, 0.01, 0, 0, 0, 0, 1.0], wall_a)  # same view
+    s2 = state(1.0, [1.0, 0, 0, 0, 0, 0, 1.0], wall_a)  # moved 1 m
+    ang = 0.3  # rotated ~34 deg in place -> sees wall B
+    s3 = state(1.5, [0.0, 0, 0, 0.0, np.sin(ang), 0.0, np.cos(ang)],
+               wall_b)
     lc._pr_ids.append(s0)
     assert not lc._pr_eligible(est, s1)  # same place, same view
-    assert lc._pr_eligible(est, s2)  # displaced
-    assert lc._pr_eligible(est, s3)  # rotated
+    assert lc._pr_eligible(est, s2)  # displaced: real parallax
+    assert lc._pr_eligible(est, s3)  # rotated: new landmarks
 
 
 def test_expand_keyframe_reactivates_pose_graph_frame(rig):
@@ -292,3 +311,86 @@ def test_loop_inserts_observations_of_old_landmarks(rig):
     assert n_merged == 1
     assert lid_live not in est.landmarks
     assert (sid, 0, 3) in est.landmarks[lid_old2].obs
+
+
+def test_pr_database_growth_bounded_on_revisit():
+    """prunePlaceRecognitionFrames parity (ViSlamBackend.cpp:2276-2309):
+    a long trajectory hovering over the SAME view must not grow the PR
+    database (projected overlap-fraction pruning against ALL stored PR
+    frames), while genuinely new views keep being added."""
+    import numpy as np
+
+    from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
+    from okvis2_tpu.graph.estimator import Estimator, EstimatorConfig
+    from okvis2_tpu.imu.preintegration import ImuParameters
+    from okvis2_tpu.pipeline.full_graph import (
+        LoopClosureBackend,
+        LoopClosureConfig,
+    )
+    from okvis2_tpu.pipeline.synthetic_run import small_rig
+
+    cams, exts = small_rig()
+    imu = ImuParameters.create(g=9.81)
+    est = Estimator(cams, exts, imu, EstimatorConfig())
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    rng = np.random.default_rng(3)
+
+    # a wall of landmarks in front of the origin
+    lids = [
+        est.add_landmark(
+            [float(x), float(y), 5.0, 1.0], initialised=True
+        )
+        for x in np.linspace(-2, 2, 6)
+        for y in np.linspace(-1.5, 1.5, 4)
+    ]
+
+    def fake_frames(n=48):
+        fr = []
+        for _ci in range(len(cams)):
+            signs = rng.choice(
+                [-1.0, 1.0], (n, DESCRIPTOR_BITS)
+            ).astype(np.float32)
+            fr.append({
+                "signs_np": signs,
+                "mask": np.ones(n, bool),
+                "xy": rng.uniform(10, 230, (n, 2)).astype(np.float32),
+            })
+        return fr
+
+    def keyframe(pose7, t, obs_lids):
+        sid = est.add_state(
+            t, np.zeros((0, 3)), np.zeros((0, 3)), np.zeros(0)
+        )
+        est.states[sid].pose = np.asarray(pose7, np.float64)
+        for kp, lid in enumerate(obs_lids):
+            est.add_observation(lid, sid, 0, kp, (100.0, 100.0), 9.0)
+        lc.add_keyframe(est, sid, fake_frames())
+        return sid
+
+    # 30 keyframes jittering around the SAME viewpoint, observing the
+    # same wall: the database must stay tiny
+    for k in range(30):
+        jit = rng.uniform(-0.05, 0.05, 3)
+        keyframe([jit[0], jit[1], jit[2], 0, 0, 0, 1.0], 0.1 * k, lids)
+    n_same_view = len(lc._pr_ids)
+    assert n_same_view <= 3, (
+        f"revisit PR growth unbounded: {n_same_view} frames stored"
+    )
+
+    # genuinely new views (new landmark walls further along x, camera
+    # rotated to face them) keep being added — pruning must not starve
+    # the database
+    before = len(lc._pr_ids)
+    ang = np.pi / 2  # optical axis along +x, away from the old wall
+    q = [0.0, np.sin(ang / 2), 0.0, np.cos(ang / 2)]
+    for k in range(5):
+        x0 = 10.0 + 8.0 * k
+        new_lids = [
+            est.add_landmark(
+                [x0 + 5.0, float(y), float(z), 1.0], initialised=True
+            )
+            for y in np.linspace(-1.5, 1.5, 4)
+            for z in np.linspace(-2, 2, 6)
+        ]
+        keyframe([x0, 0.0, 0.0] + q, 10.0 + 0.1 * k, new_lids)
+    assert len(lc._pr_ids) >= before + 4, lc._pr_ids
