@@ -436,51 +436,26 @@ def preintegrate_np(params, gyro, accel, dt, bg, ba):
     ba = np.asarray(ba, np.float64)
 
     # The scan below runs ~2x per frame on the host critical path
-    # (new-state segment + marginalisation-merged segment); per-element
-    # numpy scalar calls dominated its cost, so the step reuses
-    # preallocated buffers and inlines the skew products — the
-    # arithmetic (values and operation order) is unchanged.
-    def cross(v):
-        K = np.zeros((3, 3))
-        K[0, 1] = -v[2]; K[0, 2] = v[1]
-        K[1, 0] = v[2]; K[1, 2] = -v[0]
-        K[2, 0] = -v[1]; K[2, 1] = v[0]
-        return K
+    # (new-state segment + marginalisation-merged segment, up to
+    # imu_seg_capacity samples). Everything that does not genuinely
+    # chain is BATCH-precomputed over all steps (rotations, skews,
+    # right Jacobians, F blocks) and the linear recurrences collapse
+    # to exclusive-prefix cumsums — numpy cumsum accumulates
+    # sequentially, so values match the former per-step loop to
+    # float64 rounding (~1e-15; the device-parity test bounds are
+    # 1e-12). Only the quaternion chain and the 15x15 covariance
+    # propagation remain sequential (both cheap).
+    dt_total = np.sum(dt)
+    keep = dt > 0.0
+    if not np.all(keep):
+        gyro, accel, dt = gyro[keep], accel[keep], dt[keep]
+    N = len(dt)
 
-    def right_jacobian(phi, ang):
-        K = cross(phi)
-        if ang < 1e-8:
-            return np.eye(3) - 0.5 * K
-        return (
-            np.eye(3)
-            - (1.0 - np.cos(ang)) / ang**2 * K
-            + (ang - np.sin(ang)) / ang**3 * (K @ K)
-        )
-
-    q = np.array([0.0, 0, 0, 1.0])
-    c_int = np.zeros((3, 3))
-    c_dint = np.zeros((3, 3))
-    acc_int = np.zeros(3)
-    acc_dint = np.zeros(3)
-    d_a_bg = np.zeros((3, 3))
-    d_v_bg = np.zeros((3, 3))
-    d_p_bg = np.zeros((3, 3))
-    P = np.zeros((15, 15))
     eye3 = np.eye(3)
     s_g = float(params.sigma_g_c)
     s_a = float(params.sigma_a_c)
     s_gw = float(params.sigma_gw_c)
     s_aw = float(params.sigma_aw_c)
-
-    # F's constant blocks are written once; only the varying sub-blocks
-    # are overwritten per step (their previous values are fully
-    # replaced, so reuse is exact)
-    F = np.zeros((15, 15))
-    F[0:3, 0:3] = eye3
-    F[3:6, 3:6] = eye3
-    F[6:9, 6:9] = eye3
-    F[9:12, 9:12] = eye3
-    F[12:15, 12:15] = eye3
     noise_base = np.concatenate([
         np.full(3, s_a * s_a),  # x0.25*h*h per step (position channel)
         np.full(3, s_g * s_g),
@@ -488,61 +463,138 @@ def preintegrate_np(params, gyro, accel, dt, bg, ba):
         np.full(3, s_gw * s_gw),
         np.full(3, s_aw * s_aw),
     ])
-    dq = np.empty(4)
 
-    for k in range(len(dt)):
-        h = float(dt[k])
-        if h <= 0.0:
-            continue
-        w = gyro[k] - bg
-        a = accel[k] - ba
-        half = 0.5 * w * h
-        ang = math.sqrt(half[0] * half[0] + half[1] * half[1]
-                        + half[2] * half[2])
-        dq[:3] = half * np.sinc(ang / np.pi)
-        dq[3] = math.cos(ang)
-        q1 = se3_np.quat_mul(q, dq)
-        C = se3_np.quat_to_mat(q)
-        C1 = se3_np.quat_to_mat(q1)
-        Ca = C @ a
-        C1a = C1 @ a
-        half_sum_C = 0.5 * (C + C1)
+    if N == 0:
+        q = np.array([0.0, 0, 0, 1.0])
+        c_int = np.zeros((3, 3)); c_dint = np.zeros((3, 3))
+        acc_int = np.zeros(3); acc_dint = np.zeros(3)
+        d_a_bg = np.zeros((3, 3)); d_v_bg = np.zeros((3, 3))
+        d_p_bg = np.zeros((3, 3))
+        P = np.zeros((15, 15))
+    else:
+        h = dt
+        w_all = gyro - bg[None, :]          # [N,3]
+        a_all = accel - ba[None, :]
+        half = 0.5 * w_all * h[:, None]
+        ang = np.sqrt(np.sum(half * half, axis=1))  # [N]
+        dqs = np.empty((N, 4))
+        dqs[:, :3] = half * np.sinc(ang / np.pi)[:, None]
+        dqs[:, 3] = np.cos(ang)
 
+        # quaternion chain (genuinely sequential; scalar arithmetic in
+        # the exact operation order of se3_np.quat_mul — np.cross/norm
+        # per step cost 6 ms/128 samples in call overhead alone)
+        qs = np.empty((N + 1, 4))
+        qs[0] = (0.0, 0.0, 0.0, 1.0)
+        x1 = y1 = z1 = 0.0
+        w1 = 1.0
+        for k in range(N):
+            x2, y2, z2, w2 = dqs[k]
+            vx = w1 * x2 + w2 * x1 + (y1 * z2 - z1 * y2)
+            vy = w1 * y2 + w2 * y1 + (z1 * x2 - x1 * z2)
+            vz = w1 * z2 + w2 * z1 + (x1 * y2 - y1 * x2)
+            vw = w1 * w2 - (x1 * x2 + y1 * y2 + z1 * z2)
+            nrm = math.sqrt(vx * vx + vy * vy + vz * vz + vw * vw)
+            x1, y1, z1, w1 = vx / nrm, vy / nrm, vz / nrm, vw / nrm
+            qs[k + 1] = (x1, y1, z1, w1)
+        q = qs[-1]
+
+        # batch rotation matrices (same formula as se3_np.quat_to_mat)
+        x, y, z, w = qs[:, 0], qs[:, 1], qs[:, 2], qs[:, 3]
+        C_all = np.empty((N + 1, 3, 3))
+        C_all[:, 0, 0] = 1 - 2 * (y * y + z * z)
+        C_all[:, 0, 1] = 2 * (x * y - z * w)
+        C_all[:, 0, 2] = 2 * (x * z + y * w)
+        C_all[:, 1, 0] = 2 * (x * y + z * w)
+        C_all[:, 1, 1] = 1 - 2 * (x * x + z * z)
+        C_all[:, 1, 2] = 2 * (y * z - x * w)
+        C_all[:, 2, 0] = 2 * (x * z - y * w)
+        C_all[:, 2, 1] = 2 * (y * z + x * w)
+        C_all[:, 2, 2] = 1 - 2 * (x * x + y * y)
+        C0, C1 = C_all[:-1], C_all[1:]
+
+        def cross_b(v):  # [N,3] -> [N,3,3]
+            K = np.zeros((len(v), 3, 3))
+            K[:, 0, 1] = -v[:, 2]; K[:, 0, 2] = v[:, 1]
+            K[:, 1, 0] = v[:, 2]; K[:, 1, 2] = -v[:, 0]
+            K[:, 2, 0] = -v[:, 1]; K[:, 2, 1] = v[:, 0]
+            return K
+
+        Ca = np.einsum("nij,nj->ni", C0, a_all)
+        C1a = np.einsum("nij,nj->ni", C1, a_all)
         CaC1a = Ca + C1a
-        acc_dint = acc_dint + acc_int * h + (0.25 * h * h) * CaC1a
-        acc_int = acc_int + (0.5 * h) * CaC1a
-        c_dint = c_dint + c_int * h + (0.5 * h * h) * half_sum_C
-        c_int = c_int + half_sum_C * h
+        half_sum_C = 0.5 * (C0 + C1)
 
-        Jr = right_jacobian(w * h, 2.0 * ang)
-        C1Jr = C1 @ Jr
-        d_a_bg1 = d_a_bg - C1Jr * h
-        cross_k = -cross(Ca) @ d_a_bg
-        cross_k1 = -cross(C1a) @ d_a_bg1
-        ck_sum = cross_k + cross_k1
-        d_p_bg = d_p_bg + h * d_v_bg + (0.25 * h * h) * ck_sum
-        d_v_bg = d_v_bg + (0.5 * h) * ck_sum
-        d_a_bg = d_a_bg1
+        def excl(inc):
+            """Exclusive prefix sums of per-step increments (value
+            ENTERING step k); numpy cumsum accumulates sequentially,
+            matching the former loop's addition order."""
+            c = np.cumsum(inc, axis=0)
+            out = np.empty_like(c)
+            out[0] = 0.0
+            out[1:] = c[:-1]
+            return out, c[-1]
 
-        F_va = -0.5 * h * (cross(Ca) + cross(C1a))
-        F_v_bg = 0.25 * h * h * (cross(C1a) @ C1Jr)
-        F_v_ba = -half_sum_C * h
-        F_a_bg = -C1Jr * h
+        inc_ai = (0.5 * h)[:, None] * CaC1a
+        ai_pre, acc_int = excl(inc_ai)
+        _, acc_dint = excl(ai_pre * h[:, None]
+                           + (0.25 * h * h)[:, None] * CaC1a)
+        inc_ci = half_sum_C * h[:, None, None]
+        ci_pre, c_int = excl(inc_ci)
+        _, c_dint = excl(ci_pre * h[:, None, None]
+                         + (0.5 * h * h)[:, None, None] * half_sum_C)
 
-        F[0:3, 3:6] = 0.5 * h * F_va
-        F[0:3, 6:9] = eye3 * h
-        F[0:3, 9:12] = 0.5 * h * F_v_bg
-        F[0:3, 12:15] = 0.5 * h * F_v_ba
-        F[3:6, 9:12] = F_a_bg
-        F[6:9, 3:6] = F_va
-        F[6:9, 9:12] = F_v_bg
-        F[6:9, 12:15] = F_v_ba
+        # right Jacobians (same branches as the scalar version)
+        phi = w_all * h[:, None]
+        ang2 = 2.0 * ang
+        K = cross_b(phi)
+        KK = np.einsum("nij,njk->nik", K, K)
+        small = ang2 < 1e-8
+        angs = np.where(small, 1.0, ang2)
+        c1 = np.where(small, 0.5, (1.0 - np.cos(angs)) / (angs * angs))
+        c2 = np.where(small, 0.0,
+                      (angs - np.sin(angs)) / (angs * angs * angs))
+        Jr = (eye3[None] - c1[:, None, None] * K
+              + c2[:, None, None] * KK)
 
-        P = F @ P @ F.T
-        noise = noise_base * h
-        noise[0:3] *= 0.25 * h * h
-        P.flat[::16] += noise
-        q = q1
+        C1Jr = np.einsum("nij,njk->nik", C1, Jr)
+        dabg_pre, d_a_bg = excl(-C1Jr * h[:, None, None])
+        dabg_post = dabg_pre - C1Jr * h[:, None, None]
+        crossCa = cross_b(Ca)
+        crossC1a = cross_b(C1a)
+        ck_sum = (-np.einsum("nij,njk->nik", crossCa, dabg_pre)
+                  - np.einsum("nij,njk->nik", crossC1a, dabg_post))
+        inc_dv = (0.5 * h)[:, None, None] * ck_sum
+        dvbg_pre, d_v_bg = excl(inc_dv)
+        _, d_p_bg = excl(h[:, None, None] * dvbg_pre
+                         + (0.25 * h * h)[:, None, None] * ck_sum)
+
+        # batch F, then the (sequential) covariance propagation
+        F_va = -0.5 * h[:, None, None] * (crossCa + crossC1a)
+        F_v_bg = (0.25 * h * h)[:, None, None] * np.einsum(
+            "nij,njk->nik", crossC1a, C1Jr
+        )
+        F_v_ba = -half_sum_C * h[:, None, None]
+        F_a_bg = -C1Jr * h[:, None, None]
+        F_all = np.zeros((N, 15, 15))
+        for d in range(0, 15, 3):
+            F_all[:, d:d + 3, d:d + 3] = eye3
+        F_all[:, 0:3, 3:6] = 0.5 * h[:, None, None] * F_va
+        F_all[:, 0:3, 6:9] = eye3[None] * h[:, None, None]
+        F_all[:, 0:3, 9:12] = 0.5 * h[:, None, None] * F_v_bg
+        F_all[:, 0:3, 12:15] = 0.5 * h[:, None, None] * F_v_ba
+        F_all[:, 3:6, 9:12] = F_a_bg
+        F_all[:, 6:9, 3:6] = F_va
+        F_all[:, 6:9, 9:12] = F_v_bg
+        F_all[:, 6:9, 12:15] = F_v_ba
+        noise_all = noise_base[None, :] * h[:, None]
+        noise_all[:, 0:3] *= (0.25 * h * h)[:, None]
+        P = np.zeros((15, 15))
+        for k in range(N):
+            Fk = F_all[k]
+            P = Fk @ P @ Fk.T
+            P.flat[::16] += noise_all[k]
+        d_a_bg = dabg_post[-1]
 
     P = 0.5 * (P + P.T)
     P += np.diag(np.concatenate([
@@ -563,7 +615,7 @@ def preintegrate_np(params, gyro, accel, dt, bg, ba):
         d_p_dbg=d_p_bg,
         covariance=P,
         sqrt_info=sqrt_info,
-        dt_total=np.sum(dt),
+        dt_total=dt_total,
         bg_lin=bg,
         ba_lin=ba,
     )
