@@ -49,17 +49,18 @@ class RealsenseSensor(ViSensorBase):
     enabled, gyro/accel streams merged by interpolation to gyro
     timestamps (Realsense.cpp's processFrame/IMU handling).
 
-    Known fidelity gaps vs the reference driver (Realsense.cpp:418),
-    untestable without hardware in this environment:
-    - timestamps use the SDK's global-time clock directly; the
-      reference additionally validates RS2_FRAME_METADATA_SENSOR_TIMESTAMP
-      against the frame counter and drops frames whose metadata clock
-      jumps (hardware-glitch guard);
-    - the reference alternates the emitter per frame for RGBD rigs
-      (emitter ON for depth quality, OFF frames fed to SLAM) via
-      RS2_OPTION_EMITTER_ON_OFF; here the emitter is simply OFF (stereo)
-      or ON (rgbd) for the whole stream;
-    - frame-counter-gap detection/warning is not implemented.
+    Timestamping follows Realsense.cpp:106-158: when the device
+    supports frame metadata, the SENSOR clock's
+    RS2_FRAME_METADATA_FRAME_TIMESTAMP (microseconds) is used with a
+    running-average host-time offset (saturating at N=1000 samples,
+    `checkFrameAndUpdate`), so image times inherit the sensor clock's
+    jitter-free spacing while staying aligned to the host epoch the
+    IMU stream uses; when metadata is unsupported the driver falls
+    back to host timestamps once, with a warning. Frame-counter gaps
+    (RS2_FRAME_METADATA_FRAME_COUNTER) are detected and logged as
+    dropped frames. Untested against hardware in this build image (no
+    camera, SDK import-gated) — same caveat as the reference needing a
+    physical D435i/D455.
     """
 
     def __init__(self, width=848, height=480, fps=30, imu_rate=200,
@@ -80,6 +81,55 @@ class RealsenseSensor(ViSensorBase):
         self._thread: Optional[threading.Thread] = None
         self._stop = False
         self._accel_buffer: List = []
+        # metadata timestamping state (Realsense.cpp:138-142)
+        self._has_device_ts = True
+        self._host_offset_us = 0.0
+        self._ts_samples = 0
+        self._last_frame_counter = None
+
+    # -- metadata-based timestamps (Realsense.cpp:106-158) -------------
+    def _frame_time(self, frame) -> float:
+        """Frame time in seconds: sensor metadata clock + running-mean
+        host offset when available, host clock otherwise."""
+        rs = self._rs
+        host_ts_ms = frame.get_timestamp()
+        md = rs.frame_metadata_value.frame_timestamp
+        if self._has_device_ts and not frame.supports_frame_metadata(md):
+            import logging
+
+            logging.getLogger("okvis2_tpu").warning(
+                "Device timestamps not available. "
+                "Switching to host timestamps"
+            )
+            self._has_device_ts = False
+        if not self._has_device_ts:
+            return host_ts_ms * 1e-3
+        sensor_ts_us = float(frame.get_frame_metadata(md))
+        offset = host_ts_ms * 1e3 - sensor_ts_us
+        n = self._ts_samples
+        self._host_offset_us = (n * self._host_offset_us + offset) / (
+            n + 1
+        )
+        self._ts_samples = min(n + 1, 1000)  # saturate like the ref
+        return (sensor_ts_us + self._host_offset_us) * 1e-6
+
+    def _check_frame_counter(self, frame):
+        """Warn on RS2_FRAME_METADATA_FRAME_COUNTER gaps (dropped
+        frames corrupt IMU/image interleaving downstream)."""
+        rs = self._rs
+        md = rs.frame_metadata_value.frame_counter
+        if not frame.supports_frame_metadata(md):
+            return
+        c = int(frame.get_frame_metadata(md))
+        last = self._last_frame_counter
+        self._last_frame_counter = c
+        if last is not None and c > last + 1:
+            import logging
+
+            logging.getLogger("okvis2_tpu").warning(
+                "Realsense dropped %d frame(s) (counter %d -> %d)",
+                c - last - 1, last, c,
+            )
 
     def start_streaming(self) -> bool:
         rs = self._rs
@@ -95,40 +145,50 @@ class RealsenseSensor(ViSensorBase):
                               rs.format.z16, self.fps)
         self._pipeline = rs.pipeline()
         profile = self._pipeline.start(cfg)
-        # emitter off for clean IR stereo
+        # emitter off for clean IR stereo + global time (the SDK's
+        # host<->sensor clock fusion; Realsense.cpp:290-296)
         depth_sensor = profile.get_device().first_depth_sensor()
         if depth_sensor.supports(rs.option.emitter_enabled):
             depth_sensor.set_option(rs.option.emitter_enabled, 0)
+        if depth_sensor.supports(rs.option.emitter_on_off):
+            depth_sensor.set_option(rs.option.emitter_on_off, 0)
+        if depth_sensor.supports(rs.option.global_time_enabled):
+            depth_sensor.set_option(rs.option.global_time_enabled, 1)
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return True
 
-    def _loop(self):
+    def _process_motion(self, f):
         rs = self._rs
+        m = f.as_motion_frame()
+        t = self._frame_time(m)
+        d = m.get_motion_data()
+        v = np.asarray([d.x, d.y, d.z])
+        if f.profile.stream_type() == rs.stream.accel:
+            self._accel_buffer.append((t, v))
+            self._accel_buffer = self._accel_buffer[-64:]
+        elif self.imu_callback and self._accel_buffer:
+            # interpolate accel to the gyro timestamp (the two streams
+            # run at different rates; Realsense.cpp's processImu_)
+            ts = np.asarray([a[0] for a in self._accel_buffer])
+            vs = np.stack([a[1] for a in self._accel_buffer])
+            acc = np.stack(
+                [np.interp(t, ts, vs[:, i]) for i in range(3)]
+            )
+            self.imu_callback(t, acc, v)
+
+    def _loop(self):
         while not self._stop:
             frames = self._pipeline.wait_for_frames()
             for f in frames:
                 if f.is_motion_frame():
-                    m = f.as_motion_frame()
-                    t = m.get_timestamp() * 1e-3
-                    d = m.get_motion_data()
-                    v = np.asarray([d.x, d.y, d.z])
-                    if f.profile.stream_type() == rs.stream.accel:
-                        self._accel_buffer.append((t, v))
-                        self._accel_buffer = self._accel_buffer[-64:]
-                    elif self.imu_callback and self._accel_buffer:
-                        # interpolate accel to gyro timestamp
-                        ts = np.asarray([a[0] for a in self._accel_buffer])
-                        vs = np.stack([a[1] for a in self._accel_buffer])
-                        acc = np.stack(
-                            [np.interp(t, ts, vs[:, i]) for i in range(3)]
-                        )
-                        self.imu_callback(t, acc, v)
+                    self._process_motion(f)
             ir1 = frames.get_infrared_frame(1)
             ir2 = frames.get_infrared_frame(2)
             if ir1 and ir2 and self.images_callback:
-                t = frames.get_timestamp() * 1e-3
+                self._check_frame_counter(ir1)
+                t = self._frame_time(ir1)
                 imgs = [
                     np.asanyarray(ir1.get_data()).astype(np.float32) / 255.0,
                     np.asanyarray(ir2.get_data()).astype(np.float32) / 255.0,
@@ -150,15 +210,21 @@ class RealsenseRgbdSensor(RealsenseSensor):
     separate callback so downstream consumers can fuse dense depth (the
     reference feeds it to its depth-aided frontend).
 
-    In this configuration the IR emitter stays ON for the depth stream
-    quality while the stereo pair still serves feature tracking — the
-    reference alternates emitter on/off per frame; here we keep it on
-    and rely on the descriptor's robustness, documented deviation."""
+    Emitter handling mirrors RealsenseRgbd.cpp:80-160: the projector
+    ALTERNATES per frame (RS2_OPTION_EMITTER_ON_OFF) — IR framesets
+    whose RS2_FRAME_METADATA_FRAME_EMITTER_MODE reads OFF feed SLAM
+    feature tracking (no dot pattern on the images), framesets with
+    the emitter ON feed the depth callback (dots give depth quality).
+    When the device can't report the emitter mode, the reference's
+    fallback applies: alternate by frame counter (even -> IR, odd ->
+    depth) after turning the alternation off."""
 
     def __init__(self, width=848, height=480, fps=30, imu_rate=200):
         super().__init__(width, height, fps, imu_rate, rgbd=True)
         self.depth_callback = None
         self._align = None
+        self._supports_emitter_md = True
+        self._alt_ctr = 0
 
     def set_depth_callback(self, cb):
         self.depth_callback = cb
@@ -166,44 +232,67 @@ class RealsenseRgbdSensor(RealsenseSensor):
     def start_streaming(self) -> bool:
         ok = super().start_streaming()
         rs = self._rs
+        # alternating emitter: every other frame is projector-lit
+        # (depth), the dark ones go to feature tracking
+        depth_sensor = (
+            self._pipeline.get_active_profile().get_device()
+            .first_depth_sensor()
+        )
+        if depth_sensor.supports(rs.option.emitter_enabled):
+            depth_sensor.set_option(rs.option.emitter_enabled, 1)
+        if depth_sensor.supports(rs.option.emitter_on_off):
+            depth_sensor.set_option(rs.option.emitter_on_off, 1)
         self._align = rs.align(rs.stream.infrared)
         return ok
 
-    def _loop(self):
+    def _emitter_on(self, frame) -> Optional[bool]:
+        """Emitter mode from frame metadata, or None if unsupported
+        (triggers the counter-based fallback, RealsenseRgbd.cpp:96-104,
+        120-127)."""
         rs = self._rs
+        md = rs.frame_metadata_value.frame_emitter_mode
+        if self._supports_emitter_md and frame.supports_frame_metadata(md):
+            return bool(int(frame.get_frame_metadata(md)))
+        if self._supports_emitter_md:
+            import logging
+
+            logging.getLogger("okvis2_tpu").warning(
+                "reading the emitter mode is not supported, "
+                "falling back to frame-counter alternation"
+            )
+            self._supports_emitter_md = False
+        return None
+
+    def _loop(self):
         while not self._stop:
             frames = self._pipeline.wait_for_frames()
             if self._align is not None:
                 frames = self._align.process(frames)
             for f in frames:
                 if f.is_motion_frame():
-                    m = f.as_motion_frame()
-                    t = m.get_timestamp() * 1e-3
-                    d = m.get_motion_data()
-                    v = np.asarray([d.x, d.y, d.z])
-                    if f.profile.stream_type() == rs.stream.accel:
-                        self._accel_buffer.append((t, v))
-                        self._accel_buffer = self._accel_buffer[-64:]
-                    elif self.imu_callback and self._accel_buffer:
-                        ts = np.asarray([a[0] for a in self._accel_buffer])
-                        vs = np.stack([a[1] for a in self._accel_buffer])
-                        acc = np.stack(
-                            [np.interp(t, ts, vs[:, i]) for i in range(3)]
-                        )
-                        self.imu_callback(t, acc, v)
+                    self._process_motion(f)
             ir1 = frames.get_infrared_frame(1)
             ir2 = frames.get_infrared_frame(2)
             depth = frames.get_depth_frame()
-            t = frames.get_timestamp() * 1e-3
-            if ir1 and ir2 and self.images_callback:
+            if not (ir1 and ir2):
+                continue
+            self._check_frame_counter(ir1)
+            t = self._frame_time(ir1)
+            em = self._emitter_on(ir1)
+            if em is None:  # metadata fallback: alternate by counter
+                em = self._alt_ctr % 2 == 1
+                self._alt_ctr += 1
+            if not em and self.images_callback:
+                # projector dark: clean IR for feature tracking
                 imgs = [
                     np.asanyarray(ir1.get_data()).astype(np.float32) / 255.0,
                     np.asanyarray(ir2.get_data()).astype(np.float32) / 255.0,
                 ]
                 self.images_callback(t, imgs)
-            if depth and self.depth_callback:
+            if em and depth and self.depth_callback:
+                # projector lit: depth is trustworthy
                 self.depth_callback(
-                    t,
+                    self._frame_time(depth),
                     np.asanyarray(depth.get_data()).astype(np.float32)
                     * 1e-3,  # z16 [mm] -> meters
                 )
