@@ -843,6 +843,13 @@ class Frontend:
         # verification and map export); the matching path uses the
         # device-resident table below
         self.lm_descriptors: Dict[int, np.ndarray] = {}
+        # landmark id -> up to 3 DISTINCT descriptor variants (bit-packed
+        # uint8[B/8], 64 B each) accumulated over the landmark's life:
+        # loop-closure verification matches the current frame against
+        # ALL of them, like the reference's <=3-descriptors-per-landmark
+        # matching (Frontend.cpp:1224-1359) — a revisit often resembles
+        # a LATER view of the landmark better than the PR keyframe's own
+        self.lm_desc_sets: Dict[int, list] = {}
         self.table = DeviceLandmarkTable(
             config.map_match_capacity, config.n_desc_per_lm
         )
@@ -1441,7 +1448,7 @@ class Frontend:
             fr["signs_np"] = signs_np[ci]
         for (lid, ci, kp) in desc_stage:
             if kp < signs_np.shape[1]:
-                self.lm_descriptors[lid] = signs_np[ci, kp]
+                self._remember_descriptor(lid, signs_np[ci, kp])
         return signs_np
 
     def dispatch_keyframe_extras(self, estimator: Estimator, frames,
@@ -1514,6 +1521,30 @@ class Frontend:
             t.flush(src)
             self._staged_signs_dev = None
 
+    def _remember_descriptor(self, lid: int, signs: np.ndarray):
+        """Record a landmark's descriptor: latest view in lm_descriptors
+        and up to 3 DISTINCT variants (bit-packed) in lm_desc_sets for
+        loop-closure verification. Near-duplicates (< 16 of 512 bits
+        apart) don't displace an existing variant — diversity over
+        recency, as measured by the 3-vs-1 descriptor recall A/B
+        (tests/test_descriptor_recall.py)."""
+        signs = np.asarray(signs)
+        self.lm_descriptors[lid] = signs
+        packed = np.packbits(signs > 0)
+        sets = self.lm_desc_sets.get(lid)
+        if sets is None:
+            self.lm_desc_sets[lid] = [packed]
+            return
+        for p in sets:
+            if int(np.unpackbits(p ^ packed).sum()) < 16:
+                return
+        if len(sets) < 3:
+            sets.append(packed)
+        else:
+            # keep the oldest (first-seen view) + the two newest variants
+            sets[1] = sets[2]
+            sets[2] = packed
+
     def _sync_table(self, estimator: Estimator):
         """Free table slots of landmarks that no longer exist."""
         dead = [
@@ -1523,6 +1554,7 @@ class Frontend:
         for lid in dead:
             self.table.release(lid)
             self.lm_descriptors.pop(lid, None)
+            self.lm_desc_sets.pop(lid, None)
 
     def match_to_map(
         self,
@@ -1600,7 +1632,7 @@ class Frontend:
                 estimator.add_observation(
                     lid, sid, ci, kp, fr["xy"][kp], fr["size"][kp]
                 )
-                self.lm_descriptors[lid] = fr["signs_np"][kp]
+                self._remember_descriptor(lid, fr["signs_np"][kp])
                 table.stage_descriptor(lid, ci, kp)
                 matched_kp.setdefault(ci, []).append(kp)
                 n_matched_total += 1
@@ -1741,7 +1773,7 @@ class Frontend:
                     lid, sid, cj, b, fb["xy"][b], fb["size"][b]
                 )
                 if "signs_np" in fa:
-                    self.lm_descriptors[lid] = fa["signs_np"][a]
+                    self._remember_descriptor(lid, fa["signs_np"][a])
                 self.table.stage_descriptor(lid, ci, a)
                 n_new += 1
         self.table.flush(stacked["signs"])
@@ -1811,7 +1843,7 @@ class Frontend:
                 estimator.add_observation(
                     lid, sid, ci, b, fb["xy"][b], fb["size"][b]
                 )
-                self.lm_descriptors[lid] = fb["signs_np"][b]
+                self._remember_descriptor(lid, fb["signs_np"][b])
                 self.table.stage_descriptor(lid, ci, b)
                 n_new += 1
         if n_new:

@@ -461,7 +461,7 @@ class SlamSystem:
         if self.loop_backend is not None:
             with SwitchableTimer("2.06 place recognition"):
                 loop_old_id = self.loop_backend.detect_loop(
-                    est, sid, frames
+                    est, sid, frames, self.frontend
                 )
                 self.loop_backend.add_keyframe(est, sid, frames)
             # multi-session relocalisation against loaded components
