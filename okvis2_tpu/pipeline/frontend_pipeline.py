@@ -1918,34 +1918,103 @@ class Frontend:
         return top
 
     # ------------------------------------------------------------------
+    def _disk_offsets(self, r: int) -> np.ndarray:
+        cache = getattr(self, "_disk_offs_cache", None)
+        if cache is None:
+            cache = {}
+            self._disk_offs_cache = cache
+        offs = cache.get(r)
+        if offs is None:
+            g = np.arange(-r, r + 1)
+            dx, dy = np.meshgrid(g, g)
+            m = dx * dx + dy * dy <= r * r
+            offs = np.stack([dx[m], dy[m]], axis=-1)  # [(dx,dy)]
+            cache[r] = offs
+        return offs
+
+    def _coverage_iou(self, ci: int, xy: np.ndarray, det_idx, match_idx):
+        """Painted-disk coverage on a 1/10-scale mask: disks of radius
+        0.09*min(rows,cols) stamped at keypoint/10 positions, then the
+        IoU of the matched disks vs all detection disks — the
+        cv::circle + bitwise_and/or scheme of doWeNeedANewKeyframe
+        (Frontend.cpp:1072-1103). Returns (intersection, union) pixel
+        counts."""
+        cam = self.cameras[ci]
+        rows, cols = max(cam.height // 10, 1), max(cam.width // 10, 1)
+        offs = self._disk_offsets(max(int(min(rows, cols) * 0.09), 1))
+
+        def paint(idx):
+            mask = np.zeros((rows, cols), bool)
+            idx = np.asarray(list(idx), np.int64)
+            if len(idx) == 0:
+                return mask
+            c = (np.asarray(xy)[idx] * 0.1).astype(np.int64)  # [n,2] x,y
+            pix = c[:, None, :] + offs[None]  # [n,D,2]
+            x = np.clip(pix[..., 0], 0, cols - 1).ravel()
+            y = np.clip(pix[..., 1], 0, rows - 1).ravel()
+            mask[y, x] = True
+            return mask
+
+        det = paint(det_idx)
+        mat = paint(match_idx)
+        return int((mat & det).sum()), int((mat | det).sum())
+
     def need_new_keyframe(self, estimator: Estimator, frames, sid: int) -> bool:
         """Keyframe heuristic (doWeNeedANewKeyframe,
-        Frontend.cpp:1057-1167): per camera, the ratio of the matched
-        keypoints' convex-hull area to the detected keypoints' hull area;
-        a new keyframe when the best camera's overlap drops below the
-        threshold — the reference's cv::convexHull/contourArea scheme in
-        numpy (monotone chain + shoelace)."""
+        Frontend.cpp:1057-1167): painted-disk coverage IoU of the
+        matched keypoints vs ALL detections — for the current frame AND
+        for every stored window keyframe (its keypoints hosting
+        landmarks co-observed now, vs its detections); decide on the
+        MIN of the two. A convex-hull area ratio is NOT a substitute:
+        hulls span the holes, so a decaying match density kept
+        reporting >0.6 'overlap' while the textured drive drifted 30
+        frames without a keyframe (r4 regression). The matched/detected
+        count ratio is kept as a safety net (round-2 lesson: coverage
+        starvation on keypoint-sparse scenes)."""
         cfg = self.cfg
         if self.last_keyframe_id is None:
             return True
-        best_overlap = 0.0
+        obs_sid = list(estimator.obs_of_state(sid))
+        cur_lids = {l for (l, _c, _k) in obs_sid}
         best_ratio = 0.0
-        obs_sid = estimator.obs_of_state(sid)
+        inter = union = 0
+        n_kp_total = 0
         for ci, fr in enumerate(frames):
-            matched = {kp for (_l, c, kp) in obs_sid if c == ci}
             det_idx = np.nonzero(np.asarray(fr["mask"], bool))[0]
-            if len(det_idx) < 3:
+            n_kp_total += len(det_idx)
+            match_idx = [kp for (_l, c, kp) in obs_sid if c == ci]
+            if len(det_idx):
+                best_ratio = max(best_ratio,
+                                 len(match_idx) / len(det_idx))
+            i, u = self._coverage_iou(ci, fr["xy"], det_idx, match_idx)
+            inter += i
+            union += u
+        overlap = inter / union if union else 0.0
+        # ... and seen FROM the stored keyframes (how much of each
+        # keyframe's view is still co-observed): moving away from every
+        # keyframe shrinks this even while the current frame still
+        # matches plenty (Frontend.cpp:1106-1156)
+        store = getattr(self, "_kf_store", {})
+        overlap_others = 0.0
+        for s, kf_frames in store.items():
+            if s == sid or s not in estimator.states:
                 continue
-            best_ratio = max(best_ratio, len(matched) / len(det_idx))
-            a_det = _hull_area(fr["xy"][det_idx])
-            if a_det <= 0:
-                continue
-            if len(matched) >= 3:
-                a_m = _hull_area(fr["xy"][sorted(matched)])
-            else:
-                a_m = 0.0
-            best_overlap = max(best_overlap, a_m / a_det)
-        return (best_overlap < cfg.keyframe_overlap_threshold
+            obs_k = list(estimator.obs_of_state(s))
+            i_k = u_k = 0
+            for ci, fr in enumerate(kf_frames):
+                det_idx = np.nonzero(np.asarray(fr["mask"], bool))[0]
+                match_idx = [kp for (l, c, kp) in obs_k
+                             if c == ci and l in cur_lids]
+                i, u = self._coverage_iou(ci, fr["xy"], det_idx,
+                                          match_idx)
+                i_k += i
+                u_k += u
+            if u_k:
+                overlap_others = max(overlap_others, i_k / u_k)
+        overlap = min(overlap, overlap_others)
+        if n_kp_total < 7 * len(frames):
+            return False  # a respectable keyframe needs detections
+        return (overlap < cfg.keyframe_overlap_threshold
                 or best_ratio < cfg.keyframe_matching_ratio)
 
     # ------------------------------------------------------------------
@@ -2016,36 +2085,3 @@ def _stereo_motion_device(
     return m["idx_b"], hp_W, good, parallel
 
 
-def _hull_area(pts: np.ndarray) -> float:
-    """Convex-hull area of 2D points (Andrew monotone chain + shoelace).
-
-    Python-scalar math throughout: this runs per camera per frame in
-    the keyframe heuristic, and per-element numpy scalar ops in the
-    chain loop measured ~25 ms/frame (tuple floats: ~1 ms)."""
-    seq = sorted(set(map(tuple, np.asarray(pts, np.float64).tolist())))
-    if len(seq) < 3:
-        return 0.0
-
-    def half(seq):
-        h = []
-        for p in seq:
-            px, py = p
-            while len(h) >= 2:
-                x1, y1 = h[-2]
-                x2, y2 = h[-1]
-                if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) <= 0:
-                    h.pop()
-                else:
-                    break
-            h.append(p)
-        return h
-
-    hull = half(seq)[:-1] + half(seq[::-1])[:-1]
-    if len(hull) < 3:
-        return 0.0
-    area = 0.0
-    x1, y1 = hull[-1]
-    for (x2, y2) in hull:
-        area += x1 * y2 - y1 * x2
-        x1, y1 = x2, y2
-    return 0.5 * abs(area)
