@@ -92,7 +92,7 @@ class StateRecord:
     __slots__ = (
         "id", "t", "pose", "speed_bias", "is_keyframe", "in_window",
         "frozen", "is_pose_graph_frame", "imu_w", "imu_a", "imu_dt",
-        "imu_from",
+        "imu_from", "anchor_id", "T_anchor7",
     )
 
     def __init__(self, sid, t, pose, speed_bias):
@@ -104,6 +104,14 @@ class StateRecord:
         self.in_window = True
         self.frozen = False
         self.is_pose_graph_frame = False
+        # non-keyframe states leave the optimised graph with their pose
+        # RECORDED RELATIVE to a keyframe anchor (okvis::Trajectory's
+        # keyframe-relative non-causal update, okvis_ceres/src/
+        # Trajectory.cpp: non-keyframe states follow their keyframe), so
+        # later loop closures / full-graph solves that move keyframes
+        # move the whole history consistently
+        self.anchor_id: Optional[int] = None
+        self.T_anchor7: Optional[np.ndarray] = None
         # raw IMU buffers spanning from state `imu_from` to this one.
         # imu_from is the chain invariant that lets every packer verify
         # link adjacency before building an IMU factor (the reference's
@@ -1166,6 +1174,7 @@ class Estimator:
             self._pre_cache.pop(sid, None)
             rec.in_window = False
             self.window.remove(sid)
+            self._set_history_anchor(sid)
 
     def _merge_imu_into_successor(self, sid: int, nxt: StateRecord):
         """Merge state sid's IMU buffer into its chain successor and CLEAR
@@ -1452,15 +1461,49 @@ class Estimator:
         self._pre_cache.pop(sid, None)
         rec.in_window = False
         self.window.remove(sid)
+        if not rec.is_keyframe and not rec.is_pose_graph_frame:
+            self._set_history_anchor(sid)
 
     # ------------------------------------------------------------------
+    def _set_history_anchor(self, sid: int):
+        """A non-keyframe state leaving the optimised graph records its
+        pose relative to the nearest keyframe/pose-graph state (by time)
+        still being optimised. `trajectory()` recomposes through the
+        anchor, so loop closures and full-graph solves that move
+        keyframes carry the eliminated history with them — the
+        keyframe-relative non-causal update of okvis::Trajectory
+        (okvis_ceres/src/Trajectory.cpp)."""
+        rec = self.states[sid]
+        best, best_dt = None, float("inf")
+        for s in self.window:
+            r = self.states[s]
+            if not (r.is_keyframe or r.is_pose_graph_frame):
+                continue
+            dt = abs(r.t - rec.t)
+            if dt < best_dt:
+                best, best_dt = s, dt
+        if best is None:
+            return  # no optimised anchor exists (startup) — keep absolute
+        rec.anchor_id = best
+        rec.T_anchor7 = _compose7_np(
+            _inverse7_np(self.states[best].pose), rec.pose
+        )
+
     def get_pose(self, sid: int) -> np.ndarray:
         return self.states[sid].pose
 
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
-        return [
-            (self.states[s].t, self.states[s].pose) for s in self.state_order
-        ]
+        out = []
+        for s in self.state_order:
+            rec = self.states[s]
+            if rec.anchor_id is not None and rec.anchor_id in self.states:
+                pose = _compose7_np(
+                    self.states[rec.anchor_id].pose, rec.T_anchor7
+                )
+            else:
+                pose = rec.pose
+            out.append((rec.t, pose))
+        return out
 
 
 def _set_row(full: np.ndarray, i: int, one: np.ndarray) -> np.ndarray:
@@ -1517,3 +1560,15 @@ def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
         [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
         [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
     ])
+
+
+def _compose7_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """T_a ∘ T_b for [r|q_xyzw] 7-vectors (numpy, no device ops)."""
+    r = a[:3] + _quat_to_mat_np(a[3:7]) @ b[:3]
+    q = _quat_mul_np(a[3:7], b[3:7])
+    return np.concatenate([r, q])
+
+
+def _inverse7_np(a: np.ndarray) -> np.ndarray:
+    qc = _quat_conj_np(a[3:7])
+    return np.concatenate([-(_quat_to_mat_np(qc) @ a[:3]), qc])
