@@ -268,6 +268,11 @@ class Estimator:
         # incrementally-maintained state -> {(lid, cam, kp)} index
         # (kept exact by the _ObsDict mutation hook)
         self._by_state: Dict[int, set] = {}
+        # cumulative observation insertions (monotone; never decremented
+        # by keyframe→pose-graph conversion or landmark deletion) — the
+        # invariant pipelined-parity tests check: a lost device append
+        # set shows up here regardless of later graph surgery
+        self.n_obs_inserted = 0
         # per-state revision + cached lid array (pack_np hot path:
         # only states whose observations changed re-materialise)
         self._by_state_rev: Dict[int, int] = {}
@@ -371,7 +376,9 @@ class Estimator:
         if added:
             if s is None:
                 s = self._by_state[sid] = set()
-            s.add((lid, ci, kp))
+            if (lid, ci, kp) not in s:
+                s.add((lid, ci, kp))
+                self.n_obs_inserted += 1
         elif s is not None:
             s.discard((lid, ci, kp))
         self._by_state_rev[sid] = self._by_state_rev.get(sid, 0) + 1

@@ -615,7 +615,11 @@ def _associate_core(
 
 
 _FLUSH_U = 512  # staged table updates folded into each fused dispatch
-_FF_ROWS = 256  # per-frame frame-to-frame match row budget (readback)
+# per-frame frame-to-frame match row budget (readback): the 1200-frame
+# and textured regression drives measured up to ~350 good rows at 256
+# keypoints/camera — 512 keeps the readback compact (+4 KB) without
+# truncating continuity matches
+_FF_ROWS = 512
 _MS_ROWS = 256  # per-frame motion-stereo row budget (readback)
 
 
@@ -1280,23 +1284,29 @@ class Frontend:
         kp_mask = take(NC * N, (NC, N)) > 0.5
         idx = take(NC * cap, (NC, cap)).astype(np.int32)
         keep = take(NC * cap, (NC, cap)) > 0.5
-        ms_rows = take(_MS_ROWS * 8, (_MS_ROWS, 8))
-        ff_rows = take(_FF_ROWS * 4, (_FF_ROWS, 4))
+        # the device compaction emits min(budget, available) rows — a
+        # small config (few keypoints/cameras) has fewer candidate rows
+        # than the budget, and the argsort slice clamps silently; the
+        # decode must clamp identically or every later field mis-frames
+        ms_n = min(_MS_ROWS, KF * NC * N)
+        ff_n = min(_FF_ROWS, NC * N)
+        ms_rows = take(ms_n * 8, (ms_n, 8))
+        ff_rows = take(ff_n * 4, (ff_n, 4))
         n_inl = int(diag[off]); ransac_ok = diag[off + 1] > 0.5
         rot_frac = float(diag[off + 2])
         ms_total = int(diag[off + 3]); ff_total = int(diag[off + 4])
         extra_np = diag[off + 5:]
-        if ms_total > _MS_ROWS:
+        if ms_total > ms_n:
             _warn_capacity(
                 "ms_rows",
                 f"motion-stereo rows truncated ({ms_total} good > "
-                f"{_MS_ROWS} budget) — raise _MS_ROWS",
+                f"{ms_n} budget) — raise _MS_ROWS",
             )
-        if ff_total > _FF_ROWS:
+        if ff_total > ff_n:
             _warn_capacity(
                 "ff_rows",
                 f"frame-to-frame match rows truncated ({ff_total} good "
-                f"> {_FF_ROWS} budget) — raise _FF_ROWS",
+                f"> {ff_n} budget) — raise _FF_ROWS",
             )
 
         frames = [

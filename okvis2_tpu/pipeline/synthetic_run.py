@@ -167,6 +167,18 @@ def run_regression_drive(
     drops), place recognition and loop closure. ATE RMSE is tracked
     across rounds in REGRESSION.md. Reference validation analogue:
     running okvis_app_synchronous on EuRoC (README.md:179-206)."""
+    if "estimator_config" not in kwargs:
+        # long-horizon capacities: the r4 suite measured 547-805 window
+        # landmarks (vs the 384 default) and a 2062-row obs overflow
+        # under deep lag on the 1200-frame/textured drives — truncation
+        # there drops real constraints (the reference's ceres::Problem
+        # is uncapped)
+        kwargs["estimator_config"] = EstimatorConfig(
+            window_slots=10,
+            landmark_slots=512,
+            obs_slots=4096,
+            imu_seg_capacity=128,
+        )
     return run_synthetic_vio(
         duration=duration,
         frame_rate=frame_rate,

@@ -102,31 +102,51 @@ def test_pipelined_parity_pose_by_pose():
     res_s = run_synthetic_vio(pipelined=True, **kw)
     tr_s = res_s["est_traj"]
     assert len(tr1) == len(tr_s)
-    dps = [
-        float(np.linalg.norm(p1[:3] - ps[:3]))
-        for (_t, p1), (_t2, ps) in zip(tr1, tr_s)
-    ]
-    # lag-depth differences reschedule solve application: measured
-    # profile is a ~2.3 cm transient at the frame where the forced lag
-    # first delays solve application (t=0.6), decaying to ~1.2 cm at
-    # drain. Ordering bugs (stale slot maps, misaligned staged
-    # descriptors) move poses an order of magnitude more
+    # split by state kind: DIRECTLY-estimated states (keyframes /
+    # pose-graph / still-in-window) are bounded tightly — ordering bugs
+    # move them an order of magnitude more than the measured ~2.3 cm
+    # lag-rescheduling transient. ANCHORED history states (eliminated
+    # IMU frames, recomposed through their keyframe anchor like
+    # okvis::Trajectory) get a loose bound: lag depth legitimately
+    # changes WHICH keyframe a state anchors to (keyframe selection
+    # differs with lag), and the anchor difference compounds with the
+    # startup transient on this tiny fixture (measured ~0.1 m).
+    e1 = res_p1["slam"].estimator
+    dps, dps_anch = [], []
+    for s, (_t, p1), (_t2, ps) in zip(e1.state_order, tr1, tr_s):
+        d = float(np.linalg.norm(p1[:3] - ps[:3]))
+        if e1.states[s].anchor_id is not None:
+            dps_anch.append(d)
+        else:
+            dps.append(d)
     assert max(dps) < 0.035, f"pose-by-pose divergence {max(dps)}"
     assert dps[-1] < 0.02, f"steady-state divergence {dps[-1]}"
+    if dps_anch:
+        assert max(dps_anch) < 0.2, (
+            f"anchored-state divergence {max(dps_anch)}"
+        )
 
     # observation volume: the device-appended match rows of every
     # in-flight frame must land as host observations after drain.
-    # Keyframe SELECTION legitimately differs with lag depth (the
-    # heuristic sees solves/matches at different frames), so compare
-    # the graph totals, not per-state counts — a lost append set
-    # shows up as a large total deficit
+    # Compare CUMULATIVE INSERTIONS, not the surviving graph: lag depth
+    # legitimately changes keyframe selection (stale-table recall is
+    # lower, so coverage drops and more keyframes fire), and keyframe →
+    # pose-graph conversion strips surviving obs — but a lost append
+    # set removes whole frames' insertions (measured: 1700 vs 1667
+    # inserted across lag depths, i.e. ~2%; one lost set would cost
+    # ~8%+ of the total)
     est_p, est_s = res_p1["slam"].estimator, res_s["slam"].estimator
-    tot_s = sum(len(list(est_s.obs_of_state(s))) for s in est_s.states)
-    tot_p = sum(len(list(est_p.obs_of_state(s))) for s in est_p.states)
-    assert tot_p > 0.7 * tot_s, (tot_s, tot_p)
-    # and the keyframes both runs agree on must carry comparable obs
-    kf_s = {s for s in est_s.states if est_s.states[s].is_keyframe}
-    kf_p = {s for s in est_p.states if est_p.states[s].is_keyframe}
+    assert est_p.n_obs_inserted > 0.9 * est_s.n_obs_inserted, (
+        est_s.n_obs_inserted, est_p.n_obs_inserted
+    )
+    # and the keyframes both runs agree on must carry comparable obs —
+    # excluding any converted to pose-graph frames (conversion strips
+    # obs into two-pose edges, and conversion TIMING shifts with the
+    # lag-dependent keyframe rate)
+    kf_s = {s for s in est_s.states if est_s.states[s].is_keyframe
+            and not est_s.states[s].is_pose_graph_frame}
+    kf_p = {s for s in est_p.states if est_p.states[s].is_keyframe
+            and not est_p.states[s].is_pose_graph_frame}
     for sid in kf_s & kf_p:
         n_s = len(list(est_s.obs_of_state(sid)))
         n_p = len(list(est_p.obs_of_state(sid)))
