@@ -32,6 +32,13 @@ def main(argv=None):
         help="synchronous frame loop (one blocking readback per frame) "
              "instead of the default Phase-B pipelined loop",
     )
+    p.add_argument(
+        "--vocabulary", default="",
+        help="place-recognition vocabulary: our .npz or the reference's "
+             "DBoW2 .yml.gz (e.g. small_voc.yml.gz, the file "
+             "okvis_app_synchronous loads next to its executable); "
+             "default: the committed general vocabulary",
+    )
     args = p.parse_args(argv)
 
     from okvis2_tpu.config import read_config_file
@@ -70,10 +77,16 @@ def main(argv=None):
         matching_threshold=int(params.frontend.matching_threshold),
         keyframe_overlap_threshold=params.frontend.keyframe_overlap,
     )
+    lc_cfg = None
+    if args.vocabulary:
+        from okvis2_tpu.pipeline.full_graph import LoopClosureConfig
+
+        lc_cfg = LoopClosureConfig(vocabulary_path=args.vocabulary)
     slam = SlamSystem(
         cams, exts, params.imu.params, est_cfg, fe_cfg,
         do_loop_closures=params.estimator.do_loop_closures,
         pipelined=not args.sync,
+        loop_closure_config=lc_cfg,
     )
     traj = Trajectory()
     slam.set_optimised_graph_callback(

@@ -99,8 +99,58 @@ class BinaryVocabulary:
 
     @classmethod
     def load(cls, path: str) -> "BinaryVocabulary":
+        if path.endswith((".yml", ".yml.gz", ".yaml", ".yaml.gz")):
+            return cls.load_dbow2_yml(path)
         d = np.load(path)
         return cls(d["centroid_signs"], d["idf"])
+
+    @classmethod
+    def load_dbow2_yml(cls, path: str,
+                       n_bits: int = DESCRIPTOR_BITS) -> "BinaryVocabulary":
+        """Load a DBoW2 OpenCV-YAML vocabulary (the reference ships
+        resources/small_voc.yml.gz in this format, consumed by
+        Frontend.cpp:135-174): the tree's WORDS (leaves referenced by
+        the `words:` section) become the flat codebook, their stored
+        tf-idf weights the idf vector. Descriptors narrower than ours
+        are zero-padded (a 0 sign bit is equidistant from ±1, i.e.
+        padded bits do not vote); wider ones are truncated — either way
+        quantisation stays a single sign matmul."""
+        import gzip
+        import re
+
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            text = f.read()
+        node_re = re.compile(
+            r"nodeId:(\d+),\s*parentId:\d+,\s*weight:([0-9.eE+-]+),\s*"
+            r'descriptor:"([^"]*)"',
+            re.S,
+        )
+        desc_of: Dict[int, np.ndarray] = {}
+        weight_of: Dict[int, float] = {}
+        for m in node_re.finditer(text):
+            nid = int(m.group(1))
+            weight_of[nid] = float(m.group(2))
+            by = np.asarray([int(v) for v in m.group(3).split()], np.uint8)
+            desc_of[nid] = np.unpackbits(by, bitorder="little")
+        word_re = re.compile(r"wordId:(\d+),\s*nodeId:(\d+)")
+        words = sorted(
+            (int(m.group(1)), int(m.group(2)))
+            for m in word_re.finditer(text)
+        )
+        if not words:
+            raise ValueError(f"no words found in DBoW2 vocabulary {path}")
+        W = len(words)
+        cent = np.zeros((W, n_bits), np.float32)
+        idf = np.zeros(W, np.float32)
+        for wid, nid in words:
+            bits = desc_of[nid]
+            n = min(len(bits), n_bits)
+            cent[wid, :n] = bits[:n] * 2.0 - 1.0  # {0,1} -> ±1
+            idf[wid] = weight_of[nid]
+        if np.all(idf == 0):
+            idf[:] = 1.0
+        return cls(cent, idf)
 
 
 class PlaceRecognitionDatabase:
