@@ -1118,6 +1118,58 @@ class LoopClosureBackend:
 
         threading.Thread(target=work, daemon=True).start()
 
+    def predicted_full_graph_shape(self, estimator: Estimator):
+        """Cheap host-side prediction of the pow2 capacities
+        `pack_full_problem` would pick RIGHT NOW, without packing:
+        upper-bounds each count (states eligible for the pack,
+        initialised landmarks with >=2 observations, their total
+        observation rows, pose-graph edges) and rounds up the same way
+        the pack does. Used to keep the full-graph program compiled
+        AHEAD of the first loop closure — the init-time prewarm shape
+        (32,64,256,64) is far below a few-hundred-frame session's real
+        shape, and a cold (remote-helper) compile at dispatch time is a
+        ~80 s foreground stall on the loop-closure frame (measured r4,
+        textured drive frame 293)."""
+        cfg = self.cfg
+        n_s = sum(
+            1 for s in estimator.state_order
+            if s in estimator.states
+            and (estimator.states[s].is_keyframe
+                 or estimator.states[s].is_pose_graph_frame
+                 or s in estimator.window)
+        )
+        n_lm = n_obs = 0
+        for lm in estimator.landmarks.values():
+            if not lm.initialised or len(lm.obs) < 2:
+                continue
+            n_lm += 1
+            n_obs += len(lm.obs)
+            if n_lm >= cfg.max_reactivated_landmarks:
+                break
+        n_obs = min(n_obs, cfg.max_reactivated_obs)
+        n_rel = len(estimator.pose_graph_edges)
+        return (
+            _pow2_at_least(max(n_s, 1), 32),
+            _pow2_at_least(max(n_lm, 1), 64),
+            _pow2_at_least(max(n_obs, 1), 256),
+            _pow2_at_least(max(n_rel, 1), 64),
+        ), (n_s, n_lm, n_obs, n_rel)
+
+    def prewarm_predicted(self, estimator: Estimator) -> None:
+        """Background-compile the full-graph solve at the CURRENT
+        predicted shape, plus the grown shape for any dimension past
+        75% of its capacity (the graph keeps growing between this
+        keyframe and whenever the loop closure actually fires). Each
+        distinct shape compiles once (`_warmed_shapes` dedup), so a
+        whole session pays only log-many background compiles."""
+        caps, used = self.predicted_full_graph_shape(estimator)
+        self.prewarm_shapes_async(estimator, *caps)
+        grown = tuple(
+            2 * c if u > 0.75 * c else c for u, c in zip(used, caps)
+        )
+        if grown != caps:
+            self.prewarm_shapes_async(estimator, *grown)
+
 
 def _set_row(full: np.ndarray, i: int, one) -> np.ndarray:
     full = np.array(full)

@@ -464,6 +464,12 @@ class SlamSystem:
                     est, sid, frames, self.frontend
                 )
                 self.loop_backend.add_keyframe(est, sid, frames)
+            # keep the full-graph program compiled AHEAD of the first
+            # loop closure: predict the pow2 pack shape from cheap host
+            # counts and background-compile it (pipelined only — on the
+            # CPU test path background compiles contend for the cores)
+            if self.pipelined:
+                self.loop_backend.prewarm_predicted(est)
             # multi-session relocalisation against loaded components
             # (their own databases; works from an unknown pose)
             if self.loop_backend.has_components():

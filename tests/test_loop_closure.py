@@ -394,3 +394,52 @@ def test_pr_database_growth_bounded_on_revisit():
         ]
         keyframe([x0, 0.0, 0.0] + q, 10.0 + 0.1 * k, new_lids)
     assert len(lc._pr_ids) >= before + 4, lc._pr_ids
+
+
+def test_predicted_shape_bounds_packed_shape(rig):
+    """prewarm_predicted must compile the SAME (or a strictly covering)
+    pow2 shape the real pack will use, from cheap host counts only —
+    otherwise the first loop closure pays a ~80 s foreground compile
+    (r4 textured drive, frame 293). Reference analogue: the background
+    thread owns optimiseFullGraph (ViSlamBackend.cpp:1726-1757), so a
+    loop-closure frame never blocks on this work."""
+    cams, exts, imu_params = rig
+    est = Estimator(cams, exts, imu_params, EstimatorConfig())
+    sids = []
+    for i in range(5):
+        sid = est.add_state(i * 0.5, np.full((8, 3), 0.001),
+                            np.tile([0, 0, 9.81], (8, 1)), np.full(8, 0.0625))
+        est.set_keyframe(sid, True)
+        sids.append(sid)
+    rng = np.random.default_rng(3)
+    for k in range(90):
+        lid = est.add_landmark(
+            [rng.uniform(-2, 2), rng.uniform(-2, 2), 4.0, 1.0],
+            initialised=True,
+        )
+        # between 1 and 4 observing states: single-obs landmarks must
+        # NOT count toward the packed shape
+        for j, s in enumerate(sids[: 1 + k % 4]):
+            est.add_observation(lid, s, 0, k, (10.0 + k, 20.0 + j))
+    est.pose_graph_edges.append(
+        PoseGraphEdge(sids[0], sids[4],
+                      np.array([0.1, 0, 0, 0, 0, 0, 1.0]),
+                      np.eye(6) * 10, [], "loop")
+    )
+    lc = LoopClosureBackend(cams, exts, LoopClosureConfig())
+    caps, used = lc.predicted_full_graph_shape(est)
+    prob, ids, slot_of, lm_ids = lc.pack_full_problem(est)
+    packed = (
+        prob.pose.shape[0], prob.landmarks.shape[0],
+        prob.obs_mask.shape[0], prob.rel_mask.shape[0],
+    )
+    # prediction covers the real pack in every dimension, and is exact
+    # here (all predicted landmarks/obs survive the pack's slot filter)
+    assert tuple(packed) == tuple(caps), (packed, caps)
+    assert used[0] == len(ids)
+    assert used[1] >= len(lm_ids)
+    # prewarm dedups: the same predicted shape only ever compiles once
+    lc.prewarm_predicted(est)
+    n_warmed = len(lc._warmed_shapes)
+    lc.prewarm_predicted(est)
+    assert len(lc._warmed_shapes) == n_warmed
