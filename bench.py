@@ -47,10 +47,13 @@ import time
 # (CI / CPU): tiny frames, few of them — numbers are meaningless there.
 _SMOKE = bool(os.environ.get("OKVIS2_BENCH_SMOKE"))
 _SFX = "_smoke" if _SMOKE else ""
-FRAMES_FILE = f"/tmp/okvis2_bench_frames{_SFX}.npz"
+# v2: the 1024 set grew to the same length as the EuRoC set so both
+# replays sample the SAME steady-state maturity window (VERDICT r4 #3:
+# records[16:48] vs capture[8:] made the stress config read FASTER)
+FRAMES_FILE = f"/tmp/okvis2_bench_frames_v2{_SFX}.npz"
 STATE_FILE = f"/tmp/okvis2_bench_state{_SFX}.json"
 N_FRAMES = 18 if _SMOKE else 60
-N_FRAMES_1024 = 8 if _SMOKE else 24
+N_FRAMES_1024 = 18 if _SMOKE else 60
 E_DIMS = (192, 128, 120.0) if _SMOKE else (752, 480, 460.0)
 T_DIMS = (256, 256, 130.0) if _SMOKE else (1024, 1024, 470.0)
 E_KP = 128 if _SMOKE else 512
@@ -189,12 +192,17 @@ def run_e2e(data, tag="e", capture=None, dims=E_DIMS):
     }, slam
 
 
-def replay_device_loop(slam, records, n_pass=3, frontend_only=False):
-    """Re-dispatch the captured frames' full program chain (fused
-    frontend + fused solve with device-side match append + folded table
-    flush) with every carrier PRE-STAGED on device: zero host transfers
-    in the timed region, one block_until_ready at the end. This is the
-    per-chip throughput with the tunnel taken out of the picture."""
+def replay_device_loop(slam, records, n_pass=3, mode="full",
+                       frontend_only=False):
+    """Re-dispatch the captured frames' program chain with every carrier
+    PRE-STAGED on device: zero host transfers in the timed region, one
+    block_until_ready at the end. This is the per-chip throughput with
+    the tunnel taken out of the picture.
+
+    mode: "full" (fused frontend + fused solve with device-side match
+    append), "frontend" (fused frontend program alone), or "solve"
+    (fused solve alone, re-dispatched on FIXED frontend outputs from an
+    untimed prior pass — isolates the realtime LM's device cost)."""
     import collections
 
     import jax
@@ -205,30 +213,53 @@ def replay_device_loop(slam, records, n_pass=3, frontend_only=False):
         solve_packed_fused_carrier,
     )
 
+    if frontend_only:
+        mode = "frontend"
     fe, est = slam.frontend, slam.estimator
     carr = [jnp.asarray(r["carrier"]) for r in records]
     jax.block_until_ready(carr)
 
-    def one_pass():
-        outs = []
+    fixed_ctx = None
+    if mode == "solve":
+        # one untimed frontend pass pins each frame's match sets + diag
+        fixed_ctx = []
         pend = collections.deque(maxlen=MAX_APPEND_SETS - 1)
         for r, cd in zip(records, carr):
             ctx = fe.dispatch_prepared(r["prep"], cd)
-            if frontend_only:
-                outs.append(ctx["diag"])
-                continue
             match_sets = list(pend) + [ctx["match"]]
             while len(match_sets) < MAX_APPEND_SETS:
                 match_sets.append(ctx["match"])
-            out = solve_packed_fused_carrier(
-                cd,
+            fixed_ctx.append((
                 tuple((m["idx"], m["keep"], m["xy"], m["size"])
                       for m in match_sets),
-                ctx["diag"], est.cameras, est.imu_params,
+                ctx["diag"],
+            ))
+            pend.append(ctx["match"])
+        jax.block_until_ready([c[1] for c in fixed_ctx])
+
+    def one_pass():
+        outs = []
+        pend = collections.deque(maxlen=MAX_APPEND_SETS - 1)
+        for i, (r, cd) in enumerate(zip(records, carr)):
+            if mode == "solve":
+                sets, diag = fixed_ctx[i]
+            else:
+                ctx = fe.dispatch_prepared(r["prep"], cd)
+                if mode == "frontend":
+                    outs.append(ctx["diag"])
+                    continue
+                match_sets = list(pend) + [ctx["match"]]
+                while len(match_sets) < MAX_APPEND_SETS:
+                    match_sets.append(ctx["match"])
+                sets = tuple((m["idx"], m["keep"], m["xy"], m["size"])
+                             for m in match_sets)
+                diag = ctx["diag"]
+                pend.append(ctx["match"])
+            out = solve_packed_fused_carrier(
+                cd, sets, diag, est.cameras, est.imu_params,
                 r["off_solve"], r["layout"], r["scfg"],
             )
             outs.append(out)
-            pend.append(ctx["match"])
         return outs
 
     jax.block_until_ready(one_pass())  # warm
@@ -401,15 +432,19 @@ def device_main(state_file, frames_file):
         # steady-state subset: past warmup, away from startup keyframes
         sel = records[16:48] if len(records) > 48 else records[8:]
         fps = replay_device_loop(cap_slam, sel)
-        fps_fe = replay_device_loop(cap_slam, sel, frontend_only=True)
+        fps_fe = replay_device_loop(cap_slam, sel, mode="frontend")
+        fps_sv = replay_device_loop(cap_slam, sel, mode="solve")
         state["device_loop"] = {
             "fps": round(fps, 2), "n": len(sel),
-            # stage breakdown: fused frontend program alone vs the full
-            # chain (frontend + fused solve w/ device append)
+            # stage breakdown (VERDICT r4 #1/#3): fused frontend program
+            # alone, and the fused solve alone on fixed frontend outputs
             "frontend_only_fps": round(fps_fe, 2),
+            "solve_only_fps": round(fps_sv, 2),
+            "frontend_ms": round(1e3 / fps_fe, 2),
+            "solve_ms": round(1e3 / fps_sv, 2),
         }
-        _log(f"device_loop: {fps:.1f} fps (frontend-only {fps_fe:.1f}) "
-             f"over {len(sel)} frames")
+        _log(f"device_loop: {fps:.1f} fps (frontend-only {fps_fe:.1f}, "
+             f"solve-only {fps_sv:.1f}) over {len(sel)} frames")
         _save_state(state_file, state)
 
     if "link_ceiling" not in state:
@@ -425,7 +460,10 @@ def device_main(state_file, frames_file):
             capture = []
             _res, slam1024 = run_e2e(data, tag="t", capture=capture,
                                      dims=T_DIMS)
-            sel = capture[8:] if len(capture) > 8 else capture
+            # SAME steady-state maturity window as the EuRoC replay
+            # (VERDICT r4 #2: capture[8:] of a young 24-frame run made
+            # the stress config read faster than nominal)
+            sel = capture[16:48] if len(capture) > 48 else capture[8:]
             fps = replay_device_loop(slam1024, sel)
             state["device_loop_1024"] = {"fps": round(fps, 2),
                                          "n": len(sel)}
@@ -526,6 +564,9 @@ def main():
         out["device_frontend_fps"] = state["device_loop"].get(
             "frontend_only_fps"
         )
+        out["device_solve_fps"] = state["device_loop"].get("solve_only_fps")
+        out["frontend_ms"] = state["device_loop"].get("frontend_ms")
+        out["solve_ms"] = state["device_loop"].get("solve_ms")
     if "device_loop_1024" in state:
         d = state["device_loop_1024"]
         out["device_loop_1024_fps"] = d.get("fps", None)

@@ -282,7 +282,15 @@ class Estimator:
         self._next_lm_id = 0
         self._pre_cache: Dict[int, Tuple[np.ndarray, object]] = {}
         self._problem_template: Optional[WindowProblem] = None
-        self._solver_cfg = SolverConfig(max_iterations=config.realtime_iterations)
+        # realtime LM termination: rel. cost decreases below 1e-6 are
+        # far under anything that moves a pose at ATE scale, and the
+        # default 1e-9 is unreachable in f32 (profiled: warm-started
+        # frames burned the full 10-iteration budget at ~0.5 ms each on
+        # TPU because the stall counter never fired)
+        self._solver_cfg = SolverConfig(
+            max_iterations=config.realtime_iterations,
+            min_cost_decrease=1e-6,
+        )
         self.initialised = False
 
     # ------------------------------------------------------------------

@@ -63,6 +63,20 @@ def _T(pose7: jnp.ndarray) -> Transformation:
     return Transformation(r=pose7[..., :3], q=pose7[..., 3:7])
 
 
+def _stack_cameras(cameras):
+    """Stack a homogeneous rig into ONE leaf-batched camera pytree
+    (leading axis NC), so the reprojection linearisation evaluates each
+    observation ONCE with its own camera's parameters gathered by
+    `obs_cam` — instead of evaluating ALL O rows once per camera and
+    masking (NC x duplicated work; at 7 cameras the old loop cost 7x).
+    Returns None for heterogeneous rigs (mixed distortion classes or
+    image sizes), which fall back to the per-camera masked loop."""
+    defs = {jax.tree_util.tree_structure(c) for c in cameras}
+    if len(defs) != 1:
+        return None
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cameras)
+
+
 # ---------------------------------------------------------------------------
 # residual evaluation (no Jacobians) — used for cost
 # ---------------------------------------------------------------------------
@@ -77,6 +91,27 @@ def _reproj_residuals(problem: WindowProblem, cameras) -> Tuple[jnp.ndarray, jnp
         & problem.state_mask[problem.obs_state]
         & problem.lm_mask[problem.obs_lm]
     )
+
+    stacked = _stack_cameras(cameras)
+    if stacked is not None:
+        # homogeneous rig: evaluate each observation once with its own
+        # camera's parameters gathered by obs_cam (no NC x masked loop)
+        cam_o = jax.tree_util.tree_map(
+            lambda x: x[problem.obs_cam], stacked
+        )
+
+        def one_obs(cam, p7, e7, hp, uv, w):
+            T_CW = (_T(p7) @ _T(e7)).inverse()
+            hp_C = T_CW.apply_homogeneous(hp)
+            uv_hat, valid = cam.project_homogeneous(hp_C)
+            return (uv_hat - uv) * w, valid
+
+        r, valid = jax.vmap(one_obs)(
+            cam_o, pose_o, ext_o, hp_o, problem.obs_uv,
+            problem.obs_sqrt_info,
+        )
+        sel = mask & valid
+        return jnp.where(sel[..., None], r, 0.0), sel
 
     def one_cam(ci, camera):
         T_WS = _T(pose_o)
@@ -207,15 +242,56 @@ def problem_cost(
 # linearisation
 # ---------------------------------------------------------------------------
 
+# max (L*S*NC) entries for which the gather-table linearisation is used;
+# beyond this (full-graph packs with hundreds of states) the dense path
+# avoids materialising the [L,S,NC,168] gathered payload (~29 MB at the
+# 7-camera window bound; ~88 MB would be needed at S=128/L=512)
+TABLE_MAX_ENTRIES = 49152
+
+
+def _build_obs_table(problem: WindowProblem) -> jnp.ndarray:
+    """Per-solve flat (camera, landmark, state) -> obs-row index table
+    (-1: absent), shape [NC*L*S].
+
+    Observation INDICES never change across LM iterations (only values
+    do), so the table is built once per solve, outside the while_loop —
+    the ONLY scatter in the whole solve. Each active observation
+    occupies exactly one (landmark, state, camera) cell — duplicates
+    cannot occur by construction (the window holds at most one match of
+    a landmark per image, and device-appended match sets target
+    in-flight states absent from the host pack). Camera is the
+    OUTERMOST key so every aggregation the linearisation needs is a
+    major-axis reduction of the gathered 2-D payload (no small minor
+    dims — TPU pads the minor dimension to 128 lanes)."""
+    S, L, NC = problem.S, problem.L, problem.NC
+    O = problem.O
+    key = (problem.obs_cam * L + problem.obs_lm) * S + problem.obs_state
+    tgt = jnp.where(problem.obs_mask, key, L * S * NC)  # invalid -> dropped
+    tbl = jnp.full((L * S * NC,), -1, jnp.int32)
+    tbl = tbl.at[tgt].set(jnp.arange(O, dtype=jnp.int32), mode="drop")
+    return tbl
+
+
 def _linearize(problem: WindowProblem, cameras, imu_params, config,
-               axis_name=None):
+               axis_name=None, tbl=None):
     """Build the Schur-reduced normal equations at the current estimate.
 
-    Returns (Hxx [D,D], bx [D], Hll [L,3,3], bl [L,3], W [L,D,3], free_x [D]).
+    Returns (Hxx [D,D], bx [D], Hll [L,3,3], bl [L,3], W_rep, free_x [D])
+    where W_rep is the landmark-coupling representation consumed by
+    `_schur_solve`:
+      - ("blocks", Wp [L,S,6,3], We [L,NC,6,3]) on the TABLE path
+        (window-scale problems; `tbl` is the per-solve (L,S,NC)->obs
+        index table from `_build_obs_table` — each observation touches
+        exactly one (state, camera, landmark), so every aggregation is a
+        gather + reduction; TPU scatters pay a large per-row cost).
+        Speed/bias rows are structurally zero for vision and never
+        materialised.
+      - ("dense", W [L,D,3]) on the DENSE path (tbl=None; full-graph
+        scale, where the (L,S) table would not fit).
 
     With `axis_name`, observation/landmark arrays are assumed sharded over
     that mesh axis: the dense observation contributions to (Hxx, bx) are
-    psum'd to replicated; the landmark blocks (Hll, bl, W) stay local.
+    psum'd to replicated; the landmark blocks (Hll, bl, W_rep) stay local.
     """
     S, L, NC, O = problem.S, problem.L, problem.NC, problem.O
     dtype = problem.pose.dtype
@@ -234,41 +310,80 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     z6 = jnp.zeros(6, dtype)
     z3 = jnp.zeros(3, dtype)
 
-    Jp = jnp.zeros((O, 2, 6), dtype)
-    Je = jnp.zeros((O, 2, 6), dtype)
-    Jl = jnp.zeros((O, 2, 3), dtype)
-    r0 = jnp.zeros((O, 2), dtype)
-    valid_any = jnp.zeros((O,), bool)
+    stacked = _stack_cameras(cameras)
+    if stacked is not None:
+        # homogeneous rig: each observation is linearised ONCE with its
+        # own camera's parameters gathered by obs_cam — the per-camera
+        # masked loop below costs NC x this (VERDICT r4 #7: the 4-cam
+        # drives ran 2.5x slower per frame than stereo)
+        cam_o = jax.tree_util.tree_map(
+            lambda x: x[problem.obs_cam], stacked
+        )
 
-    for ci, cam in enumerate(cameras):
-        def res_fn(dp, de, dl, p7, e7, hp, uv, w):
-            T_WS = _T(_oplus_pose(p7, dp))
-            T_SC = _T(_oplus_pose(e7, de))
-            hp_p = _oplus_hp(hp, dl)
-            T_CW = (T_WS @ T_SC).inverse()
-            hp_C = T_CW.apply_homogeneous(hp_p)
-            uv_hat, valid = cam.project_homogeneous(hp_C)
-            r = (uv_hat - uv) * w
-            return jnp.where(valid, r, 0.0), valid
+        def val_and_jac_b(cam, p7, e7, hp, uv, w):
+            def f(dp, de, dl):
+                T_WS = _T(_oplus_pose(p7, dp))
+                T_SC = _T(_oplus_pose(e7, de))
+                hp_p = _oplus_hp(hp, dl)
+                T_CW = (T_WS @ T_SC).inverse()
+                hp_C = T_CW.apply_homogeneous(hp_p)
+                uv_hat, valid = cam.project_homogeneous(hp_C)
+                return jnp.where(valid, (uv_hat - uv) * w, 0.0), valid
 
-        def val_and_jac(p7, e7, hp, uv, w):
-            f = lambda dp, de, dl: res_fn(dp, de, dl, p7, e7, hp, uv, w)[0]
-            r = f(z6, z6, z3)
-            valid = res_fn(z6, z6, z3, p7, e7, hp, uv, w)[1]
-            jp, je, jl = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z6, z3)
+            (r, valid), (jp, je, jl) = (
+                f(z6, z6, z3),
+                jax.jacfwd(lambda a, b, c: f(a, b, c)[0],
+                           argnums=(0, 1, 2))(z6, z6, z3),
+            )
             return r, valid, jp, je, jl
 
-        r_c, valid_c, jp_c, je_c, jl_c = jax.vmap(val_and_jac)(
-            pose_o, ext_o, hp_o, problem.obs_uv, problem.obs_sqrt_info
+        r0, valid_c, Jp, Je, Jl = jax.vmap(val_and_jac_b)(
+            cam_o, pose_o, ext_o, hp_o, problem.obs_uv,
+            problem.obs_sqrt_info,
         )
-        sel = (base_mask & (problem.obs_cam == ci) & valid_c)
-        f1 = sel[:, None].astype(dtype)
-        f2 = sel[:, None, None].astype(dtype)
-        r0 = r0 + r_c * f1
-        Jp = Jp + jp_c * f2
-        Je = Je + je_c * f2
-        Jl = Jl + jl_c * f2
-        valid_any = valid_any | sel
+        valid_any = base_mask & valid_c
+        fv = valid_any[:, None].astype(dtype)
+        fvm = valid_any[:, None, None].astype(dtype)
+        r0 = r0 * fv
+        Jp = Jp * fvm
+        Je = Je * fvm
+        Jl = Jl * fvm
+    else:
+        Jp = jnp.zeros((O, 2, 6), dtype)
+        Je = jnp.zeros((O, 2, 6), dtype)
+        Jl = jnp.zeros((O, 2, 3), dtype)
+        r0 = jnp.zeros((O, 2), dtype)
+        valid_any = jnp.zeros((O,), bool)
+
+        for ci, cam in enumerate(cameras):
+            def res_fn(dp, de, dl, p7, e7, hp, uv, w):
+                T_WS = _T(_oplus_pose(p7, dp))
+                T_SC = _T(_oplus_pose(e7, de))
+                hp_p = _oplus_hp(hp, dl)
+                T_CW = (T_WS @ T_SC).inverse()
+                hp_C = T_CW.apply_homogeneous(hp_p)
+                uv_hat, valid = cam.project_homogeneous(hp_C)
+                r = (uv_hat - uv) * w
+                return jnp.where(valid, r, 0.0), valid
+
+            def val_and_jac(p7, e7, hp, uv, w):
+                f = lambda dp, de, dl: res_fn(dp, de, dl, p7, e7, hp, uv, w)[0]
+                r = f(z6, z6, z3)
+                valid = res_fn(z6, z6, z3, p7, e7, hp, uv, w)[1]
+                jp, je, jl = jax.jacfwd(f, argnums=(0, 1, 2))(z6, z6, z3)
+                return r, valid, jp, je, jl
+
+            r_c, valid_c, jp_c, je_c, jl_c = jax.vmap(val_and_jac)(
+                pose_o, ext_o, hp_o, problem.obs_uv, problem.obs_sqrt_info
+            )
+            sel = (base_mask & (problem.obs_cam == ci) & valid_c)
+            f1 = sel[:, None].astype(dtype)
+            f2 = sel[:, None, None].astype(dtype)
+            r0 = r0 + r_c * f1
+            Jp = Jp + jp_c * f2
+            Je = Je + je_c * f2
+            Jl = Jl + jl_c * f2
+            valid_any = valid_any | sel
 
     # Cauchy IRLS weights
     w_rob = cauchy_weight(jnp.sum(r0 * r0, axis=-1), config.cauchy_scale)
@@ -278,30 +393,120 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     Je = Je * w_rob[:, None, None]
     Jl = Jl * w_rob[:, None, None]
 
-    # dense state Jacobian [O, 2, D] via one-hot scatter (MXU-friendly)
-    oh_s = jax.nn.one_hot(problem.obs_state, S, dtype=dtype)  # [O,S]
-    oh_c = jax.nn.one_hot(problem.obs_cam, NC, dtype=dtype)  # [O,NC]
-    Jx_pose = jnp.einsum("oij,os->oisj", Jp, oh_s).reshape(O, 2, S * 6)
-    Jx_ext = jnp.einsum("oij,oc->oicj", Je, oh_c).reshape(O, 2, NC * 6)
-    Jx = jnp.concatenate(
-        [Jx_pose, jnp.zeros((O, 2, S * 9), dtype), Jx_ext], axis=-1
-    )  # [O,2,D]
+    if tbl is not None:
+        # ---- table path (window-scale problems) ----------------------
+        # All per-iteration aggregation is GATHER + major-axis
+        # reductions + tiny constant selection matmuls off the
+        # per-solve (camera, landmark, state)->obs index table: TPU
+        # scatters pay a large per-row cost and small-minor-dim tensors
+        # pay 128-lane padding (both profiled as the dominant iteration
+        # costs of earlier designs), so the payload stays strictly 2-D
+        # [NC*L*S, 256]. The augmented Jacobian [Jp|Je|Jl|r] gives every
+        # normal-equation block AND gradient term as entries of ONE
+        # per-obs outer product A = J_aug^T J_aug.
+        J_aug = jnp.concatenate(
+            [Jp, Je, Jl, r0[:, :, None]], axis=2
+        )  # [O,2,16]
+        A = (
+            J_aug[:, 0, :, None] * J_aug[:, 0, None, :]
+            + J_aug[:, 1, :, None] * J_aug[:, 1, None, :]
+        ).reshape(O, 256)
+        tv = (tbl >= 0).astype(dtype)  # [NC*L*S]
+        G = A[jnp.maximum(tbl, 0)] * tv[:, None]  # [NC*L*S, 256]
 
-    Hxx = jnp.einsum("oid,oie->de", Jx, Jx)
-    bx = -jnp.einsum("oid,oi->d", Jx, r0)
+        # camera is outermost, so every reduction is over leading axes
+        G_ls = G.reshape(NC, L, S * 256).sum(1)  # [NC, S*256]
+        B = G_ls.reshape(NC, S, 16, 16)  # small: per-(cam,state) totals
+        Hpp = B[..., 0:6, 0:6].sum(0)  # [S,6,6]
+        Hee = B[..., 6:12, 6:12].sum(1)  # [NC,6,6]
+        Hpe = jnp.swapaxes(B[..., 0:6, 6:12], 0, 1)  # [S,NC,6,6]
+        bxp = -B[..., 0:6, 15].sum(0)  # [S,6]
+        bxe = -B[..., 6:12, 15].sum(1)  # [NC,6]
+
+        G_c = G.reshape(NC, L * S, 256).sum(0)  # [L*S, 256]
+        # constant 0/1 selection matrices extract the (pose|ext) x
+        # landmark coupling and landmark blocks as MXU matmuls
+        import numpy as _np
+
+        sel_pl = _np.zeros((256, 18), _np.float32)
+        sel_el = _np.zeros((256, 18), _np.float32)
+        sel_lb = _np.zeros((256, 12), _np.float32)  # Hll 9 | bl 3
+        for j in range(6):
+            for k in range(3):
+                sel_pl[j * 16 + 12 + k, j * 3 + k] = 1.0
+                sel_el[(j + 6) * 16 + 12 + k, j * 3 + k] = 1.0
+        for j in range(3):
+            for k in range(3):
+                sel_lb[(12 + j) * 16 + 12 + k, j * 3 + k] = 1.0
+            sel_lb[(12 + j) * 16 + 15, 9 + j] = -1.0
+        sel_pl = jnp.asarray(sel_pl, dtype)
+        sel_el = jnp.asarray(sel_el, dtype)
+        sel_lb = jnp.asarray(sel_lb, dtype)
+
+        Wp = (G_c @ sel_pl).reshape(L, S, 6, 3)
+        lb = G_c.reshape(L, S, 256).sum(1) @ sel_lb  # [L,12]
+        Hll = lb[:, :9].reshape(L, 3, 3)
+        bl = lb[:, 9:12]
+        G_s = G.reshape(NC * L, S, 256).sum(1)  # [NC*L, 256]
+        We = jnp.swapaxes(
+            (G_s @ sel_el).reshape(NC, L, 6, 3), 0, 1
+        )  # [L,NC,6,3]
+
+        # dense vision contribution to (Hxx, bx) assembled by
+        # concatenation (scatter-free); speed/bias rows are zero
+        eyeS = jnp.eye(S, dtype=dtype)
+        bd_pp = jnp.einsum("sjk,sr->sjrk", Hpp, eyeS).reshape(
+            S * 6, S * 6
+        )
+        eyeC = jnp.eye(NC, dtype=dtype)
+        bd_ee = jnp.einsum("cjk,cd->cjdk", Hee, eyeC).reshape(
+            NC * 6, NC * 6
+        )
+        pe_flat = jnp.swapaxes(Hpe, 1, 2).reshape(S * 6, NC * 6)
+        Hxx = jnp.concatenate([
+            jnp.concatenate(
+                [bd_pp, jnp.zeros((S * 6, S * 9), dtype), pe_flat], 1),
+            jnp.zeros((S * 9, D), dtype),
+            jnp.concatenate(
+                [pe_flat.T, jnp.zeros((NC * 6, S * 9), dtype), bd_ee], 1),
+        ], 0)
+        bx = jnp.concatenate(
+            [bxp.reshape(-1), jnp.zeros((S * 9,), dtype),
+             bxe.reshape(-1)]
+        )
+    else:
+        # ---- dense path (full-graph-scale problems) ------------------
+        # the (L,S,NC) table would not fit; build the dense state
+        # Jacobian [O,2,D] via one-hot outer products (MXU-friendly)
+        oh_s = jax.nn.one_hot(problem.obs_state, S, dtype=dtype)  # [O,S]
+        oh_c = jax.nn.one_hot(problem.obs_cam, NC, dtype=dtype)  # [O,NC]
+        Jx_pose = jnp.einsum("oij,os->oisj", Jp, oh_s).reshape(O, 2, S * 6)
+        Jx_ext = jnp.einsum("oij,oc->oicj", Je, oh_c).reshape(O, 2, NC * 6)
+        Jx = jnp.concatenate(
+            [Jx_pose, jnp.zeros((O, 2, S * 9), dtype), Jx_ext], axis=-1
+        )  # [O,2,D]
+
+        Hxx = jnp.einsum("oid,oie->de", Jx, Jx)
+        bx = -jnp.einsum("oid,oi->d", Jx, r0)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum("oid,oie->ode", Jl, Jl), problem.obs_lm,
+            num_segments=L,
+        )  # [L,3,3]
+        bl = jax.ops.segment_sum(
+            -jnp.einsum("oid,oi->od", Jl, r0), problem.obs_lm,
+            num_segments=L,
+        )  # [L,3]
+        W = jax.ops.segment_sum(
+            jnp.einsum("oid,oie->ode", Jx, Jl), problem.obs_lm,
+            num_segments=L,
+        )  # [L,D,3]
+
     if axis_name is not None:
         # observations are sharded; their dense contribution must be
         # all-reduced before the replicated factors are added
         Hxx = jax.lax.psum(Hxx, axis_name)
         bx = jax.lax.psum(bx, axis_name)
 
-    # landmark blocks via segment-sum over landmark index
-    Hll = jax.ops.segment_sum(
-        jnp.einsum("oid,oie->ode", Jl, Jl), problem.obs_lm, num_segments=L
-    )  # [L,3,3]
-    bl = jax.ops.segment_sum(
-        -jnp.einsum("oid,oi->od", Jl, r0), problem.obs_lm, num_segments=L
-    )  # [L,3]
     # landmark priors: isotropic diagonal block + rhs
     m_lp = (problem.lm_prior_mask & problem.lm_mask).astype(dtype)
     w_lp = (problem.lm_prior_sqrt**2) * m_lp  # [L]
@@ -309,9 +514,6 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     bl = bl - w_lp[:, None] * (
         problem.landmarks[:, :3] - problem.lm_prior[:, :3]
     )
-    W = jax.ops.segment_sum(
-        jnp.einsum("oid,oie->ode", Jx, Jl), problem.obs_lm, num_segments=L
-    )  # [L,D,3]
 
     # ---- IMU links ----------------------------------------------------
     z9 = jnp.zeros(9, dtype)
@@ -365,22 +567,13 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     m_pp = problem.pose_prior_mask & problem.state_mask
     r_pp = r_pp * m_pp[:, None].astype(dtype)
     J_pp = J_pp * m_pp[:, None, None].astype(dtype)
-    # scatter into dense H: per-state 6x6 block on the pose diagonal
     HP = jnp.einsum("sij,sik->sjk", J_pp, J_pp)  # [S,6,6]
     bP = -jnp.einsum("sij,si->sj", J_pp, r_pp)  # [S,6]
-    pose_sl = jnp.arange(S * 6).reshape(S, 6)
-    Hxx = Hxx.at[pose_sl[:, :, None], pose_sl[:, None, :]].add(HP)
-    bx = bx.at[pose_sl].add(bP)
 
     # ---- speed/bias priors (diagonal whitening) ----------------------
     m_sbp = problem.sb_prior_mask & problem.state_mask
     sqd = problem.sb_prior_sqrt * m_sbp[:, None].astype(dtype)  # [S,9]
     r_sbp = sqd * (problem.speed_bias - problem.sb_prior)
-    sb_sl = S * 6 + jnp.arange(S * 9).reshape(S, 9)
-    Hxx = Hxx.at[sb_sl.reshape(-1), sb_sl.reshape(-1)].add(
-        (sqd * sqd).reshape(-1)
-    )
-    bx = bx.at[sb_sl].add(-sqd * r_sbp)
 
     # ---- extrinsics priors (online calibration) -----------------------
     r_ep, J_ep = jax.vmap(pp_val_jac)(
@@ -391,9 +584,30 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     J_ep = J_ep * m_ep[:, None, None].astype(dtype)
     HE = jnp.einsum("cij,cik->cjk", J_ep, J_ep)  # [NC,6,6]
     bE = -jnp.einsum("cij,ci->cj", J_ep, r_ep)  # [NC,6]
-    ext_sl = S * 15 + jnp.arange(NC * 6).reshape(NC, 6)
-    Hxx = Hxx.at[ext_sl[:, :, None], ext_sl[:, None, :]].add(HE)
-    bx = bx.at[ext_sl].add(bE)
+
+    # all three prior groups are (block-)diagonal: add them through ONE
+    # banded concatenation — a dozen tiny .at[].add scatters here
+    # profiled at ~25-60 us EACH on TPU (per-row scatter overhead)
+    eyeS6 = jnp.eye(S, dtype=dtype)
+    bd_hp = jnp.einsum("sjk,sr->sjrk", HP, eyeS6).reshape(S * 6, S * 6)
+    eyeC6 = jnp.eye(NC, dtype=dtype)
+    bd_he = jnp.einsum("cjk,cd->cjdk", HE, eyeC6).reshape(
+        NC * 6, NC * 6
+    )
+    diag_sb = (sqd * sqd).reshape(-1)  # [S*9]
+    Hxx = Hxx + jnp.concatenate([
+        jnp.concatenate(
+            [bd_hp, jnp.zeros((S * 6, S * 9 + NC * 6), dtype)], 1),
+        jnp.concatenate(
+            [jnp.zeros((S * 9, S * 6), dtype),
+             jnp.eye(S * 9, dtype=dtype) * diag_sb[None, :],
+             jnp.zeros((S * 9, NC * 6), dtype)], 1),
+        jnp.concatenate(
+            [jnp.zeros((NC * 6, S * 15), dtype), bd_he], 1),
+    ], 0)
+    bx = bx + jnp.concatenate(
+        [bP.reshape(-1), (-sqd * r_sbp).reshape(-1), bE.reshape(-1)]
+    )
 
     # ---- relative pose factors ---------------------------------------
     R = problem.rel_i.shape[0]
@@ -445,14 +659,25 @@ def _linearize(problem: WindowProblem, cameras, imu_params, config,
     ).astype(dtype)  # [D]
     Hxx = Hxx * free_x[:, None] * free_x[None, :]
     bx = bx * free_x
-    W = W * free_x[None, :, None]
+    if tbl is not None:
+        Wp = Wp * free_pose.astype(dtype)[None, :, None, None]
+        We = We * free_ext.astype(dtype)[None, :, None, None]
+        W_rep = ("blocks", Wp, We)
+    else:
+        W_rep = ("dense", W * free_x[None, :, None])
 
-    return Hxx, bx, Hll, bl, W, free_x
+    return Hxx, bx, Hll, bl, W_rep, free_x
 
 
-def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config,
+def _schur_solve(Hxx, bx, Hll, bl, W_rep, free_x, lm_mask, lam, config,
                  axis_name=None):
     """Damped Schur-complement solve. Returns (dx [D], dl [L,3]).
+
+    W_rep is `_linearize`'s landmark-coupling representation:
+    ("blocks", Wp [L,S,6,3], We [L,NC,6,3]) assembles the reduced
+    system block-wise (vision touches only pose and extrinsics rows, so
+    nothing of size [L,D,3] ever exists); ("dense", W [L,D,3]) is the
+    full-graph form.
 
     With `axis_name`, the landmark blocks are assumed sharded over that
     mesh axis: the reduced system is formed with one psum over the
@@ -462,7 +687,6 @@ def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config,
     """
     dtype = Hxx.dtype
     D = Hxx.shape[0]
-    L = Hll.shape[0]
     eye3 = jnp.eye(3, dtype=dtype)
 
     # damp landmarks (Marquardt scaling + small absolute floor), mask empties
@@ -477,20 +701,48 @@ def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config,
 
     Hll_inv = inv3x3(Hll_d)
 
-    # reduced system
-    WHinv = jnp.einsum("lds,lst->ldt", W, Hll_inv)  # [L,D,3]
-    schur_H = jnp.einsum("ldt,let->de", WHinv, W)
-    schur_b = jnp.einsum("ldt,lt->d", WHinv, bl_m)
+    if W_rep[0] == "blocks":
+        _, Wp, We = W_rep
+        S, NC = Wp.shape[1], We.shape[1]
+        # reduced system, block-wise: W Hll^-1 W^T over (pose|ext) blocks
+        WHp = jnp.einsum("lsjt,ltu->lsju", Wp, Hll_inv)  # [L,S,6,3]
+        WHe = jnp.einsum("lcjt,ltu->lcju", We, Hll_inv)  # [L,NC,6,3]
+        s_pp = jnp.einsum("lsju,lrku->sjrk", WHp, Wp)  # [S,6,S,6]
+        s_pe = jnp.einsum("lsju,lcku->sjck", WHp, We)  # [S,6,NC,6]
+        s_ee = jnp.einsum("lcju,ldku->cjdk", WHe, We)  # [NC,6,NC,6]
+        sb_p = jnp.einsum("lsju,lu->sj", WHp, bl_m)  # [S,6]
+        sb_e = jnp.einsum("lcju,lu->cj", WHe, bl_m)  # [NC,6]
+
+        # assemble [D,D] via concatenation (speed/bias rows are zero)
+        z_ps = jnp.zeros((S * 6, S * 9), dtype)
+        top = jnp.concatenate(
+            [s_pp.reshape(S * 6, S * 6), z_ps,
+             s_pe.reshape(S * 6, NC * 6)], axis=1)
+        mid = jnp.zeros((S * 9, D), dtype)
+        bot = jnp.concatenate(
+            [s_pe.reshape(S * 6, NC * 6).T,
+             jnp.zeros((NC * 6, S * 9), dtype),
+             s_ee.reshape(NC * 6, NC * 6)], axis=1)
+        schur_H = jnp.concatenate([top, mid, bot], axis=0)
+        schur_b = jnp.concatenate(
+            [sb_p.reshape(-1), jnp.zeros((S * 9,), dtype),
+             sb_e.reshape(-1)])
+    else:
+        _, W = W_rep
+        WHinv = jnp.einsum("lds,lst->ldt", W, Hll_inv)  # [L,D,3]
+        schur_H = jnp.einsum("ldt,let->de", WHinv, W)
+        schur_b = jnp.einsum("ldt,lt->d", WHinv, bl_m)
+
     if axis_name is not None:
         schur_H = jax.lax.psum(schur_H, axis_name)
         schur_b = jax.lax.psum(schur_b, axis_name)
     S_red = Hxx - schur_H
     b_red = bx - schur_b
 
-    # damp states; pin frozen dims
+    # damp states; pin frozen dims (eye-masked adds, not diag-scatters)
     diag_xx = jnp.diagonal(Hxx)
-    S_red = S_red + jnp.diag(lam * diag_xx + 1e-12)
-    S_red = S_red + jnp.diag(1.0 - free_x)
+    eyeD = jnp.eye(D, dtype=dtype)
+    S_red = S_red + eyeD * (lam * diag_xx + 1e-12 + 1.0 - free_x)[None, :]
 
     from okvis2_tpu.ops.linalg import spd_solve
 
@@ -503,7 +755,17 @@ def _schur_solve(Hxx, bx, Hll, bl, W, free_x, lm_mask, lam, config,
     dx = dx * free_x
 
     # back-substitute landmarks
-    rhs = bl_m - jnp.einsum("lds,d->ls", W, dx)
+    if W_rep[0] == "blocks":
+        S, NC = W_rep[1].shape[1], W_rep[2].shape[1]
+        dxp = dx[: S * 6].reshape(S, 6)
+        dxe = dx[S * 15:].reshape(NC, 6)
+        rhs = (
+            bl_m
+            - jnp.einsum("lsjt,sj->lt", W_rep[1], dxp)
+            - jnp.einsum("lcjt,cj->lt", W_rep[2], dxe)
+        )
+    else:
+        rhs = bl_m - jnp.einsum("lds,d->ls", W_rep[1], dx)
     dl = jnp.einsum("lst,lt->ls", Hll_inv, rhs)
     dl = jnp.where(active[:, None], dl, 0.0)
     return dx, dl
@@ -541,21 +803,40 @@ def solve_window_impl(
     landmark-sharded multi-chip full-graph solve). Returns
     (problem', stats dict)."""
     cost0 = problem_cost(problem, cameras, imu_params, config, axis_name)
+    # observation INDICES are iteration-invariant: build the gather
+    # table once, outside the LM loop (None -> dense full-graph path)
+    use_table = problem.L * problem.S * problem.NC <= TABLE_MAX_ENTRIES
+    tbl = _build_obs_table(problem) if use_table else None
+
+    # the while_loop carries ONLY the four mutable value arrays — not
+    # the whole 36-leaf problem. Carrying everything made every static
+    # field (masks, indices, measurements, preintegrations) look
+    # loop-variant to XLA, forcing a per-iteration where-copy of each
+    # leaf and defeating hoisting of index-derived structures
+    def with_vals(vals):
+        return dataclasses_replace(
+            problem, pose=vals[0], speed_bias=vals[1],
+            extrinsics=vals[2], landmarks=vals[3],
+        )
 
     def body(carry):
-        prob, lam, cost, it, stall = carry
-        Hxx, bx, Hll, bl, W, free_x = _linearize(
-            prob, cameras, imu_params, config, axis_name
+        vals, lam, cost, it, stall = carry
+        prob = with_vals(vals)
+        Hxx, bx, Hll, bl, W_rep, free_x = _linearize(
+            prob, cameras, imu_params, config, axis_name, tbl
         )
         dx, dl = _schur_solve(
-            Hxx, bx, Hll, bl, W, free_x, prob.lm_mask, lam, config,
+            Hxx, bx, Hll, bl, W_rep, free_x, prob.lm_mask, lam, config,
             axis_name=axis_name,
         )
         cand = _apply_deltas(prob, dx, dl)
         new_cost = problem_cost(cand, cameras, imu_params, config, axis_name)
         accept = new_cost < cost
-        prob = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), cand, prob
+        vals = tuple(
+            jnp.where(accept, a, b) for a, b in zip(
+                (cand.pose, cand.speed_bias, cand.extrinsics,
+                 cand.landmarks), vals,
+            )
         )
         lam = jnp.where(
             accept, lam * config.lambda_down, lam * config.lambda_up
@@ -570,19 +851,21 @@ def solve_window_impl(
             stall,
         )
         cost = jnp.where(accept, new_cost, cost)
-        return prob, lam, cost, it + 1, stall
+        return vals, lam, cost, it + 1, stall
 
     def cond(carry):
         _, lam, _, it, stall = carry
         return (it < config.max_iterations) & (stall < 2) & (lam < 1e7)
 
     lam0 = jnp.asarray(config.initial_lambda, problem.pose.dtype)
-    prob, lam, cost, it, _ = jax.lax.while_loop(
-        cond, body, (problem, lam0, cost0, jnp.int32(0), jnp.int32(0))
+    vals0 = (problem.pose, problem.speed_bias, problem.extrinsics,
+             problem.landmarks)
+    vals, lam, cost, it, _ = jax.lax.while_loop(
+        cond, body, (vals0, lam0, cost0, jnp.int32(0), jnp.int32(0))
     )
     stats = {"initial_cost": cost0, "final_cost": cost, "iterations": it,
              "lambda": lam}
-    return prob, stats
+    return with_vals(vals), stats
 
 
 solve_window = jax.jit(solve_window_impl, static_argnums=(3,))
