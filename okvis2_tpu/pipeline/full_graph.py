@@ -69,6 +69,14 @@ class LoopClosureConfig:
     min_inlier_ratio: float = 0.35
     verify_match_threshold: int = 80  # Hamming, wider than tracking
     verify_capacity: int = 512  # fixed landmark-candidate slots per verify
+    # place-recognition database density (prunePlaceRecognitionFrames
+    # parity, ViSlamBackend.cpp:2276-2309). r4's near-miss diagnosis
+    # showed ~10 stored PR frames/lap left the circle-1200 revisit one
+    # descriptor-statistics shift away from 0 closures; the densified
+    # defaults (coverage harder to claim: higher overlap bar, tighter
+    # same-ray cone) roughly double the stored frames per lap
+    pr_max_overlap: float = 0.75
+    pr_max_ray_angle: float = 0.03
     # don't match against the most recent N place-recognition frames;
     # with view-pruned, well-spaced PR frames a small N suffices (the
     # drift budget + pose verification guard against near-field matches)
@@ -137,6 +145,12 @@ class LoopClosureBackend:
         self._key = jax.random.PRNGKey(7)
         self.num_loop_closures = 0
         self.num_rejected_by_budget = 0
+        # per ACCEPTED closure: verify inlier-ratio headroom over the
+        # acceptance threshold (ratio / min_inlier_ratio). The r4
+        # circle-1200 revisit passed at 0.52/0.55 "by a hair" before the
+        # multi-variant descriptor fix; the regression suite gates on
+        # this staying >= 1.2 (VERDICT r4 #5)
+        self.verify_margins: List[float] = []
         self._pr_ids: List[int] = []
         # loaded-map components, each with its own queryable database
         # (Frontend::loadComponent fills per-component DBoW databases,
@@ -164,8 +178,8 @@ class LoopClosureBackend:
         return cached
 
     def _pr_eligible(self, estimator: Estimator, sid: int,
-                     max_overlap: float = 0.6,
-                     max_ray_angle: float = 0.05) -> bool:
+                     max_overlap: Optional[float] = None,
+                     max_ray_angle: Optional[float] = None) -> bool:
         """prunePlaceRecognitionFrames parity (ViSlamBackend.cpp:
         2276-2309: overlapFraction > 0.6 drops the frame from DBoW
         eligibility): a candidate keyframe's observed landmark is
@@ -180,6 +194,10 @@ class LoopClosureBackend:
         arbitrarily long revisiting trajectories, which the previous
         last-8 proxy did not. Vectorised numpy over ALL stored frames
         at PR-frame granularity."""
+        if max_overlap is None:
+            max_overlap = self.cfg.pr_max_overlap
+        if max_ray_angle is None:
+            max_ray_angle = self.cfg.pr_max_ray_angle
         rec_c = estimator.states[sid]
         pts = []
         for (lid, _ci, _kp) in estimator.obs_of_state(sid):
@@ -427,6 +445,7 @@ class LoopClosureBackend:
         if n_in < cfg.min_inliers or n_in < cfg.min_inlier_ratio * int(ok.sum()):
             self.last_verify_info = f"ransac inliers {n_in}/{int(ok.sum())}"
             return None
+        verify_margin = (n_in / max(int(ok.sum()), 1)) / cfg.min_inlier_ratio
         # GN refine on the inlier set; 6x6 Hessian = edge information
         # (the reference's mini ceres solve, Frontend.cpp:440-530)
         T = res["T_WS"]
@@ -455,6 +474,7 @@ class LoopClosureBackend:
             "sqrt_info": np.asarray(sqrt_info),
             "pairs": pairs,
             "num_inliers": n_in,
+            "margin": verify_margin,
         }
 
     # ------------------------------------------------------------------
@@ -752,6 +772,7 @@ class LoopClosureBackend:
             PoseGraphEdge(old_id, sid, T_ij, sqrt_info, [], "loop")
         )
         self.num_loop_closures += 1
+        self.verify_margins.append(float(v.get("margin", 0.0)))
 
         self._merge_loop_landmarks(estimator, sid, v["pairs"], frames,
                                    frontend)
