@@ -465,9 +465,20 @@ def device_main(state_file, frames_file):
             # the stress config read faster than nominal)
             sel = capture[16:48] if len(capture) > 48 else capture[8:]
             fps = replay_device_loop(slam1024, sel)
-            state["device_loop_1024"] = {"fps": round(fps, 2),
-                                         "n": len(sel)}
-            _log(f"device_loop_1024: {fps:.1f} fps")
+            # stage breakdown: the 1024 scene is sparser (fewer map
+            # matches -> fewer obs rows and LM iterations), so its solve
+            # can be CHEAPER than the EuRoC-scale one even though its
+            # frontend is slower — report both so the comparison is
+            # attributable rather than mysterious
+            fps_fe = replay_device_loop(slam1024, sel, mode="frontend")
+            fps_sv = replay_device_loop(slam1024, sel, mode="solve")
+            state["device_loop_1024"] = {
+                "fps": round(fps, 2), "n": len(sel),
+                "frontend_ms": round(1e3 / fps_fe, 2),
+                "solve_ms": round(1e3 / fps_sv, 2),
+            }
+            _log(f"device_loop_1024: {fps:.1f} fps (frontend "
+                 f"{1e3/fps_fe:.1f} ms, solve {1e3/fps_sv:.1f} ms)")
         except Exception as e:  # optional stress phase: never fatal
             state["device_loop_1024"] = {"error": str(e)[:200]}
         _save_state(state_file, state)
@@ -570,6 +581,8 @@ def main():
     if "device_loop_1024" in state:
         d = state["device_loop_1024"]
         out["device_loop_1024_fps"] = d.get("fps", None)
+        out["frontend_1024_ms"] = d.get("frontend_ms")
+        out["solve_1024_ms"] = d.get("solve_ms")
     if "link_ceiling" in state:
         out["link_ceiling_fps"] = state["link_ceiling"]
         if e2e:

@@ -604,6 +604,8 @@ class Estimator:
         return jax.tree_util.tree_map(jnp.asarray, self.pack_np())
 
     def pack_np(self) -> WindowProblem:
+        from okvis2_tpu.utils.timing import SwitchableTimer
+
         cfg = self.cfg
         S, L, O = cfg.window_slots, cfg.landmark_slots, cfg.obs_slots
         NC = len(self.cameras)
@@ -612,6 +614,8 @@ class Estimator:
         slot_of = {sid: i for i, sid in enumerate(win)}
         n_win = len(win)
 
+        _t_states = SwitchableTimer("3.11 pack: states+landmarks")
+        _t_states.__enter__()
         pose = np.array(prob.pose)
         sb = np.array(prob.speed_bias)
         smask = np.zeros(S, bool)
@@ -645,7 +649,10 @@ class Estimator:
                 lp_sq[i] = 0.5  # sigma ~2 m: holds, doesn't bias
                 lp_m[i] = True
 
+        _t_states.__exit__(None, None, None)
         # observations
+        _t_obs = SwitchableTimer("3.12 pack: obs rows")
+        _t_obs.__enter__()
         o_state = np.zeros(O, np.int32)
         o_cam = np.zeros(O, np.int32)
         o_lm = np.zeros(O, np.int32)
@@ -700,8 +707,11 @@ class Estimator:
             o_mask[:k] = True
         # Phase-B device-side append starts after the host-packed rows
         self._n_obs_packed = k
+        _t_obs.__exit__(None, None, None)
 
         # IMU links between consecutive window slots
+        _t_imu = SwitchableTimer("3.13 pack: imu links")
+        _t_imu.__enter__()
         pres = []
         imu_mask = np.zeros(S - 1, bool)
         if cfg.use_imu:
@@ -729,8 +739,11 @@ class Estimator:
         else:
             imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)
 
+        _t_imu.__exit__(None, None, None)
         # priors: gravity-aligned init prior on the oldest ever state if it
         # is still in the window (ViGraph.cpp:120-170)
+        _t_rest = SwitchableTimer("3.14 pack: priors+rel+replace")
+        _t_rest.__enter__()
         pp_T = np.array(prob.pose_prior)
         pp_sq = np.zeros((S, 6, 6))
         pp_m = np.zeros(S, bool)
@@ -843,6 +856,7 @@ class Estimator:
         )
         self._lm_ids = lm_ids
         self._slot_of = slot_of
+        _t_rest.__exit__(None, None, None)
         return prob
 
     def unpack(self, prob: WindowProblem):
@@ -964,8 +978,11 @@ class Estimator:
         buf_f, buf_i, buf_all = self._packed_bufs
         with SwitchableTimer("3.1 pack_np + fill"):
             prob_np = self.pack_np()
-            layout.fill(buf_f, buf_i, prob_np)
+            with SwitchableTimer("3.15 pack: layout.fill"):
+                layout.fill(buf_f, buf_i, prob_np)
 
+            _t_aux = SwitchableTimer("3.16 pack: aux maps")
+            _t_aux.__enter__()
             # landmark-table slot -> this pack's solver landmark slot,
             # one map per in-flight frame, written into the trailing
             # aux regions of the flat carrier (no extra upload RPCs)
@@ -994,6 +1011,7 @@ class Estimator:
                         mk[s] = i
                 cur_slots[k] = self._slot_of[st["sid"]]
             buf_i[oi + K * cap + K] = self._n_obs_packed
+            _t_aux.__exit__(None, None, None)
         return layout, cfg, buf_all
 
     def dispatch_fused_solve_carrier(self, match_sets, diag,

@@ -966,9 +966,11 @@ class Frontend:
         (dispatch_prepared, pipelined loop) or uploads them separately
         (dispatch_frame)."""
         from okvis2_tpu.frontend.descriptor import DESCRIPTOR_BITS
+        from okvis2_tpu.utils.timing import SwitchableTimer
 
         cfg = self.cfg
-        self._sync_table(estimator)
+        with SwitchableTimer("1.1 prep: sync table"):
+            self._sync_table(estimator)
         # host descriptor copies resolve only when this frame's signs are
         # fetched (keyframes); stale stages from non-keyframes would
         # index into the wrong frame's keypoints, so reset per frame
@@ -976,13 +978,14 @@ class Frontend:
         table = self.table
         NC = len(self.cameras)
         N = cfg.detection.max_keypoints
-        imgs = np.stack(images)
-        if imgs.dtype != np.uint8:
-            # quantise on host: the upload is 4x smaller and the
-            # device widens back to float32 (EuRoC is uint8 natively)
-            imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
-                np.uint8
-            )
+        with SwitchableTimer("1.2 prep: stack+quantise imgs"):
+            imgs = np.stack(images)
+            if imgs.dtype != np.uint8:
+                # quantise on host: the upload is 4x smaller and the
+                # device widens back to float32 (EuRoC is uint8 natively)
+                imgs = (np.clip(imgs, 0.0, 1.0) * 255.0 + 0.5).astype(
+                    np.uint8
+                )
         fdtype = np.float32  # device compute dtype after widening
         table.ensure(DESCRIPTOR_BITS, fdtype)
 
@@ -1016,6 +1019,8 @@ class Frontend:
         hp_view[:] = 0.0
         hp_view[:, 3] = 1.0
         o_kf = o + cap * 4
+        _t_tbl = SwitchableTimer("1.3 prep: landmark table fill")
+        _t_tbl.__enter__()
         lm_mask = np.zeros(cap, bool)
         lm_init = np.zeros(cap, bool)
         for lid, s in table.slot_of.items():
@@ -1027,13 +1032,15 @@ class Frontend:
             lm_init[s] = lm.initialised
         aux_i[:cap] = lm_mask
         aux_i[cap:2 * cap] = lm_init
+        _t_tbl.__exit__(None, None, None)
 
         # top-K overlap-ranked keyframe stacks for motion stereo
         # (Frontend.cpp:1742-1768 ranks all window keyframes by
         # overlapFraction; fixed K keeps the device shapes static)
-        top_ids = self._rank_keyframes_by_overlap(
-            estimator, T_WS_pred7, sid, hp_view, lm_mask, KF
-        )
+        with SwitchableTimer("1.4 prep: rank keyframes"):
+            top_ids = self._rank_keyframes_by_overlap(
+                estimator, T_WS_pred7, sid, hp_view, lm_mask, KF
+            )
         do_ms = bool(top_ids)
         kf7_view = aux_f[o_kf:o_kf + KF * 7].reshape(KF, 7)
         kf7_view[:] = np.array([0, 0, 0, 0, 0, 0, 1.0])
@@ -1042,6 +1049,8 @@ class Frontend:
             cfg.stereo_epipolar_gate, cfg.min_depth, cfg.max_depth,
             cfg.ff_match_angle_deg,
         )
+        _t_kf = SwitchableTimer("1.5 prep: kf stacks")
+        _t_kf.__enter__()
         kf_free = np.zeros((KF, NC, N), bool)
         kf_valid = np.zeros(KF, bool)
         if do_ms:
@@ -1115,6 +1124,7 @@ class Frontend:
                 self._ff_zero = zf
             ff_xy_dev, ff_signs_dev, ff_mask_dev = zf
 
+        _t_kf.__exit__(None, None, None)
         return {
             "sid": sid, "imgs_u8": imgs, "aux_all": aux_all,
             "do_ms": do_ms, "top_ids": top_ids,

@@ -152,53 +152,71 @@ def solve_packed(
     return out
 
 
-def _append_matches(
+def _append_matches_all(
     problem: WindowProblem,
-    idx: jnp.ndarray,  # [NC,cap] matched keypoint per landmark table slot
-    keep: jnp.ndarray,  # [NC,cap] RANSAC-surviving matches
-    xy: jnp.ndarray,  # [NC,N,2] this frame's keypoints
-    size: jnp.ndarray,  # [NC,N]
-    lm_slot_map: jnp.ndarray,  # [cap] table slot -> solver lm slot (-1: none)
+    match_sets,  # K tuples (idx [NC,cap], keep [NC,cap], xy, size)
+    maps: jnp.ndarray,  # [K,cap] table slot -> solver lm slot (-1: none)
     w_scale: jnp.ndarray,  # [cap] per-landmark sqrt(info_scale)
-    cur_slot: jnp.ndarray,  # [] window slot of the frame's state
+    cur_slots: jnp.ndarray,  # [K] window slot of each set's state
     n_obs_base: jnp.ndarray,  # [] next free obs row
 ):
-    """Append ONE frame's match rows to the packed observation arrays
-    ON DEVICE (Phase B of the tunnel plan): the host never sees these
-    matches before the solve — they flow straight from the fused
-    frontend program into the window problem, and the diagnostics ride
-    a later frame's readback. Fixed shapes throughout: compacted
-    scatter positions with mode="drop" for overflow. Returns
-    (problem, next free obs row) so the appends of several
-    not-yet-finished frames chain."""
-    NC, cap = idx.shape
-    valid = keep & (lm_slot_map >= 0)[None, :]
-    vflat = valid.reshape(-1)
-    pos = n_obs_base + jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    """Append EVERY in-flight frame's match rows to the packed
+    observation arrays ON DEVICE (Phase B of the tunnel plan): the host
+    never sees these matches before the solve — they flow straight from
+    the fused frontend programs into the window problem, and the
+    diagnostics ride a later frame's readback.
+
+    All K sets land in ONE row scatter of a combined [K*NC*cap, 8]
+    payload (every obs field packed as the carrier float dtype — all
+    values are indices/masks < 2^24, exact): the former per-set,
+    per-field formulation issued 6*K small scatters, and TPU scatters
+    pay a per-row cost that made them the dominant fixed overhead of
+    the fused solve. Chaining across sets is a single cumsum over the
+    concatenated valid flags; overflow rows drop via mode="drop" (the
+    host warns when the returned row count exceeds capacity)."""
     O = problem.obs_mask.shape[0]
-    tgt = jnp.where(vflat, pos, O)  # out of range -> dropped
-    kp = idx.reshape(-1)
-    ci = jnp.repeat(jnp.arange(NC, dtype=jnp.int32), cap)
-    uv = xy[ci, kp]
-    sz = size[ci, kp]
     fdt = problem.obs_uv.dtype
-    w = (8.0 / jnp.maximum(sz, 1e-6)).astype(fdt) * jnp.tile(
-        w_scale.astype(fdt), NC
-    )
-    lm_slot = jnp.tile(jnp.maximum(lm_slot_map, 0), NC)
-    cur = jnp.broadcast_to(
-        cur_slot.astype(problem.obs_state.dtype), tgt.shape
-    )
+    payloads, valids = [], []
+    for k, (idx, keep, xy, size) in enumerate(match_sets):
+        NC, cap = idx.shape
+        valid = (keep & (maps[k] >= 0)[None, :]).reshape(-1)
+        kp = idx.reshape(-1)
+        ci = jnp.repeat(jnp.arange(NC, dtype=jnp.int32), cap)
+        uv = xy[ci, kp].astype(fdt)
+        sz = size[ci, kp]
+        w = (8.0 / jnp.maximum(sz, 1e-6)).astype(fdt) * jnp.tile(
+            w_scale.astype(fdt), NC
+        )
+        lm_slot = jnp.tile(jnp.maximum(maps[k], 0), NC)
+        cur = jnp.broadcast_to(cur_slots[k], ci.shape)
+        payloads.append(jnp.stack([
+            cur.astype(fdt), ci.astype(fdt), lm_slot.astype(fdt),
+            uv[:, 0], uv[:, 1], w,
+            jnp.ones_like(w),  # mask
+            jnp.zeros_like(w),  # pad to 8 lanes
+        ], axis=1))
+        valids.append(valid)
+    vflat = jnp.concatenate(valids)  # [K*NC*cap]
+    payload = jnp.concatenate(payloads)  # [K*NC*cap, 8]
+    pos = n_obs_base + jnp.cumsum(vflat.astype(jnp.int32)) - 1
+    tgt = jnp.where(vflat, pos, O)  # invalid / overflow -> dropped
+    base = jnp.stack([
+        problem.obs_state.astype(fdt), problem.obs_cam.astype(fdt),
+        problem.obs_lm.astype(fdt),
+        problem.obs_uv[:, 0], problem.obs_uv[:, 1],
+        problem.obs_sqrt_info.astype(fdt),
+        problem.obs_mask.astype(fdt),
+        jnp.zeros((O,), fdt),
+    ], axis=1)  # [O,8]
+    m = base.at[tgt].set(payload, mode="drop")
     problem = dataclasses.replace(
         problem,
-        obs_state=problem.obs_state.at[tgt].set(cur, mode="drop"),
-        obs_cam=problem.obs_cam.at[tgt].set(ci, mode="drop"),
-        obs_lm=problem.obs_lm.at[tgt].set(lm_slot, mode="drop"),
-        obs_uv=problem.obs_uv.at[tgt].set(uv.astype(fdt), mode="drop"),
-        obs_sqrt_info=problem.obs_sqrt_info.at[tgt].set(
-            w, mode="drop"
-        ),
-        obs_mask=problem.obs_mask.at[tgt].set(True, mode="drop"),
+        obs_state=jnp.round(m[:, 0]).astype(problem.obs_state.dtype),
+        obs_cam=jnp.round(m[:, 1]).astype(problem.obs_cam.dtype),
+        obs_lm=jnp.round(m[:, 2]).astype(problem.obs_lm.dtype),
+        obs_uv=m[:, 3:5].astype(problem.obs_uv.dtype),
+        obs_sqrt_info=m[:, 5].astype(problem.obs_sqrt_info.dtype),
+        obs_mask=m[:, 6] > 0.5,
     )
     return problem, n_obs_base + jnp.sum(vflat.astype(jnp.int32))
 
@@ -251,11 +269,9 @@ def solve_packed_fused_carrier(
         jnp.int32)
     n_obs = jnp.round(flat_i[oi + K * cap + K]).astype(jnp.int32)
     problem = layout.unflatten(flat_all)
-    for k, (idx, keep, xy, size) in enumerate(match_sets):
-        problem, n_obs = _append_matches(
-            problem, idx, keep, xy, size, maps[k], w_scale,
-            cur_slots[k], n_obs,
-        )
+    problem, n_obs = _append_matches_all(
+        problem, match_sets, maps, w_scale, cur_slots, n_obs
+    )
     solved, stats = solve_window_impl(problem, cameras, imu_params, config)
     dtype = solved.pose.dtype
     out = jnp.concatenate([
