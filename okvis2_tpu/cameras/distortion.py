@@ -63,8 +63,14 @@ class Distortion:
             )
             return x + dx, None
 
-        x0 = xy_d
-        x, _ = jax.lax.scan(step, x0, None, length=iterations)
+        # statically unrolled: the body is a handful of FLOPs, but a
+        # lax.scan lowers to a TPU while-loop costing ~77 µs of fixed
+        # overhead PER CALL SITE — the fused frontend back-projects at
+        # ~14 sites, so the scans alone were ~1 ms/frame (profiled r5).
+        # Unrolled, XLA fuses the whole iteration into the neighbours.
+        x = xy_d
+        for _ in range(iterations):
+            x, _ = step(x, None)
         return x
 
     def params(self) -> jnp.ndarray:

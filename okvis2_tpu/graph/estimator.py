@@ -290,6 +290,10 @@ class Estimator:
         self._solver_cfg = SolverConfig(
             max_iterations=config.realtime_iterations,
             min_cost_decrease=1e-6,
+            # warm-started windows converge to sub-10µm steps in ~3
+            # iterations; without this the realtime solve burned the
+            # full budget at ~0.5 ms/iteration on TPU (profiled r5)
+            step_tolerance=1e-5,
         )
         self.initialised = False
 
@@ -1066,7 +1070,7 @@ class Estimator:
         return pending
 
     def apply_solved_flat(self, out, slot_of, lm_ids,
-                          T_corr7=None) -> dict:
+                          T_corr7=None, solve_t0=None) -> dict:
         """Integrate a solve output (numpy or device flat array) into the
         host records. `T_corr7` optionally composes a world-frame rigid
         correction onto every solved pose/velocity/landmark first: the
@@ -1081,7 +1085,14 @@ class Estimator:
             out, self.cfg.window_slots, self.cfg.landmark_slots,
             len(self.cameras),
         )
-        self._last_solve_wall = _time.perf_counter() - self._solve_t0
+        # dispatch->apply wall of THIS solve: with several frames in
+        # flight the instance-level _solve_t0 already belongs to a
+        # NEWER dispatch, under-measuring the span and letting the
+        # realtime budget unbind at random — the pipelined loop passes
+        # the dispatch time it recorded with the pending frame
+        self._last_solve_wall = _time.perf_counter() - (
+            solve_t0 if solve_t0 is not None else self._solve_t0
+        )
         if T_corr7 is not None:
             pose = np.asarray(pose, np.float64).copy()
             sb = np.asarray(sb, np.float64).copy()

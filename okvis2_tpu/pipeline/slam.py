@@ -376,6 +376,7 @@ class SlamSystem:
             })
         self._pending_frames.append({
             "t": t, "sid": sid, "ctx": ctx, "out": out,
+            "solve_t0": est._solve_t0,
             "fetch": (th, fut),
             "slot_of": dict(est._slot_of), "lm_ids": list(est._lm_ids),
             "images": images, "epoch": self._corr_epoch,
@@ -549,7 +550,8 @@ class SlamSystem:
                 pass
             else:
                 est.apply_solved_flat(
-                    solve_np, p["slot_of"], p["lm_ids"], T_corr7=corr
+                    solve_np, p["slot_of"], p["lm_ids"], T_corr7=corr,
+                    solve_t0=p["solve_t0"],
                 )
         if est.cfg.online_extrinsics:
             self.frontend.T_SC_np = [r.copy() for r in est.T_SC]

@@ -850,6 +850,16 @@ def solve_window_impl(
             jnp.where(rel_dec < config.min_cost_decrease, stall + 1, 0),
             stall,
         )
+        if config.step_tolerance > 0.0:
+            # Ceres parameter_tolerance role: an accepted step whose
+            # largest STATE component (pose/speed/bias/extrinsics — the
+            # trajectory-determining variables) is below tolerance ends
+            # the solve now; landmarks keep the cost criterion as the
+            # backstop
+            step_inf = jnp.max(jnp.abs(dx))
+            stall = jnp.where(
+                accept & (step_inf < config.step_tolerance), 2, stall
+            )
         cost = jnp.where(accept, new_cost, cost)
         return vals, lam, cost, it + 1, stall
 

@@ -44,6 +44,13 @@ class SolverConfig:
     min_cost_decrease: float = 1e-9
     cauchy_scale: float = 1.0
     landmark_damping: float = 1e-6
+    # parameter-change tolerance (Ceres parameter_tolerance role): an
+    # ACCEPTED step whose largest state-delta component is below this
+    # terminates the LM loop immediately — warm-started realtime windows
+    # converge in ~3 iterations and the remaining budget moves poses by
+    # micrometres while costing ~0.5 ms/iteration on device. 0 = off
+    # (full-graph / final-BA solves keep the cost-decrease criterion).
+    step_tolerance: float = 0.0
 
 
 def _z(shape, dtype):

@@ -123,12 +123,26 @@ def main(which="both"):
             fn()
         events = _load_trace_events()
         by_name, count = _device_op_table(events)
-        total = sum(by_name.values())
-        print(f"\n[trace:{label}] total device-op time "
-              f"{total/1e3/n_frames:.2f} ms/frame over {n_frames} "
-              "dispatches")
+        # jit_* entries are whole-executable envelopes whose children
+        # are ALSO counted individually — report them separately and
+        # group the children by op family (strip the .N id)
+        env = {n: d for n, d in by_name.items() if n.startswith("jit")}
+        print(f"\n[trace:{label}] over {n_frames} dispatches")
+        for name, dur in sorted(env.items(), key=lambda x: -x[1]):
+            print(f"  program {name[:58]:58s} {dur/1e3/n_frames:7.3f} "
+                  f"ms/frame x{count[name]/n_frames:.1f}")
+        fam = collections.Counter()
+        for name, dur in by_name.items():
+            if name.startswith("jit"):
+                continue
+            fam[name.split(".")[0]] += dur
+        total = sum(fam.values())
+        print(f"  children total {total/1e3/n_frames:.2f} ms/frame; "
+              "by family:")
+        for name, dur in fam.most_common(20):
+            print(f"    {name[:56]:56s} {dur/1e3/n_frames:9.3f}")
         print(f"{'op':60s} {'ms/frame':>9s} {'n/frame':>8s}")
-        for name, dur in by_name.most_common(35):
+        for name, dur in by_name.most_common(40):
             print(f"{name[:60]:60s} {dur/1e3/n_frames:9.3f} "
                   f"{count[name]/n_frames:8.1f}")
 
