@@ -146,7 +146,7 @@ class _ObsDict(dict):
         self.owner.obs_rev += 1
         super().__setitem__(k, v)
         if self.hook is not None:
-            self.hook(self.owner.id, k, True)
+            self.hook(self.owner.id, k, True, v)
 
     def __delitem__(self, k):
         self.owner.obs_rev += 1
@@ -169,11 +169,11 @@ class _ObsDict(dict):
             for k, v in items:
                 super().__setitem__(k, v)
                 if self.hook is not None:
-                    self.hook(self.owner.id, k, True)
+                    self.hook(self.owner.id, k, True, v)
         for k, v in kw.items():
             super().__setitem__(k, v)
             if self.hook is not None:
-                self.hook(self.owner.id, k, True)
+                self.hook(self.owner.id, k, True, v)
 
     def clear(self):
         self.owner.obs_rev += 1
@@ -181,6 +181,77 @@ class _ObsDict(dict):
             for k in self:
                 self.hook(self.owner.id, k, False)
         super().clear()
+
+
+class _ObsArena:
+    """Global observation-row store, kept exact by the _ObsDict mutation
+    hook. Columns: lid/sid/cam (int32), u/v/w=8/size (float64), alive.
+    pack_np's obs section becomes pure vectorised numpy over these
+    arrays — the former per-landmark Python loop (~500 window landmarks
+    x concatenate) was the single largest host cost per frame (2.6 ms
+    p50 at bench scale). The reference's persistent ceres::Problem
+    (ViGraph.cpp:47-62) is the analogue: residual blocks are stored
+    once and never repacked."""
+
+    __slots__ = ("lid", "sid", "cam", "uvw", "alive", "n", "n_dead",
+                 "row_of")
+
+    def __init__(self, cap: int = 8192):
+        self.lid = np.zeros(cap, np.int32)
+        self.sid = np.zeros(cap, np.int32)
+        self.cam = np.zeros(cap, np.int32)
+        self.uvw = np.zeros((cap, 3), np.float64)
+        self.alive = np.zeros(cap, bool)
+        self.n = 0
+        self.n_dead = 0
+        self.row_of: Dict[Tuple[int, int, int, int], int] = {}
+
+    def set(self, lid: int, key, val):
+        k = (lid, key[0], key[1], key[2])
+        r = self.row_of.get(k)
+        if r is None:
+            if self.n == self.alive.size:
+                self._grow()
+            r = self.n
+            self.n += 1
+            self.row_of[k] = r
+            self.lid[r] = lid
+            self.sid[r] = key[0]
+            self.cam[r] = key[1]
+        self.uvw[r, 0] = val[0]
+        self.uvw[r, 1] = val[1]
+        self.uvw[r, 2] = 8.0 / val[2]
+        self.alive[r] = True
+
+    def drop(self, lid: int, key):
+        r = self.row_of.pop((lid, key[0], key[1], key[2]), None)
+        if r is not None and self.alive[r]:
+            self.alive[r] = False
+            self.n_dead += 1
+            if self.n_dead > 4096 and self.n_dead * 2 > self.n:
+                self._compact()
+
+    def _grow(self):
+        cap = self.alive.size * 2
+        for name in ("lid", "sid", "cam", "alive"):
+            a = getattr(self, name)
+            b = np.zeros(cap, a.dtype)
+            b[: self.n] = a[: self.n]
+            setattr(self, name, b)
+        b = np.zeros((cap, 3), np.float64)
+        b[: self.n] = self.uvw[: self.n]
+        self.uvw = b
+
+    def _compact(self):
+        keep = np.nonzero(self.alive[: self.n])[0]
+        remap = np.full(self.n, -1, np.int64)
+        remap[keep] = np.arange(len(keep))
+        for name in ("lid", "sid", "cam", "alive", "uvw"):
+            a = getattr(self, name)
+            a[: len(keep)] = a[keep]
+        self.row_of = {k: int(remap[r]) for k, r in self.row_of.items()}
+        self.n = len(keep)
+        self.n_dead = 0
 
 
 class LandmarkRecord:
@@ -276,11 +347,18 @@ class Estimator:
         # per-state revision + cached lid array (pack_np hot path:
         # only states whose observations changed re-materialise)
         self._by_state_rev: Dict[int, int] = {}
+        self._obs_arena = _ObsArena()
+        # lid -> info_scale for CNN-suppressed landmarks only (kept in
+        # sync with LandmarkRecord.info_scale by set_info_scale); the
+        # per-frame device w_scale fill iterates THIS instead of the
+        # whole descriptor table
+        self._lm_suppressed: Dict[int, float] = {}
         self._lid_cache: Dict[int, Tuple[int, np.ndarray]] = {}
         self.pose_graph_edges: List[PoseGraphEdge] = []
         self._next_state_id = 0
         self._next_lm_id = 0
-        self._pre_cache: Dict[int, Tuple[np.ndarray, object]] = {}
+        self._pre_cache: Dict[int, Tuple[np.ndarray, object, int, int]] = {}
+        self._imu_buf = None  # persistent imu_pre link buffer (pack_np)
         self._problem_template: Optional[WindowProblem] = None
         # realtime LM termination: rel. cost decreases below 1e-6 are
         # far under anything that moves a pose at ATE scale, and the
@@ -380,9 +458,10 @@ class Estimator:
         self.landmarks[lid] = rec
         return lid
 
-    def _obs_hook(self, lid: int, key, added: bool):
-        """_ObsDict mutation hook: keep the state->observations index
-        exact through every mutation path (direct dict writes included)."""
+    def _obs_hook(self, lid: int, key, added: bool, val=None):
+        """_ObsDict mutation hook: keep the state->observations index AND
+        the global obs-row arena exact through every mutation path
+        (direct dict writes included)."""
         sid, ci, kp = key
         s = self._by_state.get(sid)
         if added:
@@ -391,8 +470,11 @@ class Estimator:
             if (lid, ci, kp) not in s:
                 s.add((lid, ci, kp))
                 self.n_obs_inserted += 1
-        elif s is not None:
-            s.discard((lid, ci, kp))
+            self._obs_arena.set(lid, key, val)
+        else:
+            if s is not None:
+                s.discard((lid, ci, kp))
+            self._obs_arena.drop(lid, key)
         self._by_state_rev[sid] = self._by_state_rev.get(sid, 0) + 1
 
     def _forget_landmark_obs(self, lm: "LandmarkRecord"):
@@ -404,6 +486,20 @@ class Estimator:
                 s.discard((lm.id, ci, kp))
                 self._by_state_rev[sid] = \
                     self._by_state_rev.get(sid, 0) + 1
+            self._obs_arena.drop(lm.id, (sid, ci, kp))
+
+    def set_info_scale(self, lm_id: int, scale: float):
+        """Set a landmark's observation information scale (CNN
+        suppression, Frontend.cpp:986-1011) — writes both the record
+        and the suppressed-lid index the device w_scale fill reads."""
+        lm = self.landmarks.get(lm_id)
+        if lm is None:
+            return
+        lm.info_scale = float(scale)
+        if scale != 1.0:
+            self._lm_suppressed[lm_id] = float(scale)
+        else:
+            self._lm_suppressed.pop(lm_id, None)
 
     def add_observation(self, lm_id, state_id, cam_idx, kp_idx, uv, size=9.0):
         self.landmarks[lm_id].obs[(state_id, cam_idx, kp_idx)] = (
@@ -489,7 +585,7 @@ class Estimator:
         ba = rec.speed_bias[6:9]
         cached = self._pre_cache.get(sid)
         if cached is not None:
-            bias_lin, pre, n_meas = cached
+            bias_lin, pre, n_meas, _rev = cached
             if (
                 n_meas == len(rec.imu_dt)
                 and np.linalg.norm(bias_lin - np.concatenate([bg, ba]))
@@ -520,8 +616,11 @@ class Estimator:
         from okvis2_tpu.imu.preintegration import preintegrate_np
 
         pre = preintegrate_np(self.imu_params, wb, ab, dtb, bg, ba)
+        # monotone revision: keys the per-row imu_pre buffer in pack_np
+        # (id() could be recycled by the allocator after a gc)
+        self._pre_rev = getattr(self, "_pre_rev", 0) + 1
         self._pre_cache[sid] = (
-            np.concatenate([bg, ba]), pre, len(rec.imu_dt)
+            np.concatenate([bg, ba]), pre, len(rec.imu_dt), self._pre_rev
         )
         return pre
 
@@ -645,13 +744,19 @@ class Estimator:
         lp = np.array(prob.lm_prior)
         lp_sq = np.zeros(L)
         lp_m = np.zeros(L, bool)
+        sc_slot = np.ones(L)
         for lid, i in lm_slot.items():
-            lms[i] = self.landmarks[lid].hp_W
+            lm = self.landmarks[lid]
+            lms[i] = lm.hp_W
             lmask[i] = True
+            sc_slot[i] = lm.info_scale
             if self._lm_nwin.get(lid, 2) < 2:
-                lp[i] = self.landmarks[lid].hp_W
+                lp[i] = lm.hp_W
                 lp_sq[i] = 0.5  # sigma ~2 m: holds, doesn't bias
                 lp_m[i] = True
+        # CNN suppression: information x info_scale => sqrt-info
+        # x sqrt(info_scale) (Frontend.cpp:986-1011)
+        np.sqrt(sc_slot, out=sc_slot)
 
         _t_states.__exit__(None, None, None)
         # observations
@@ -663,51 +768,42 @@ class Estimator:
         o_uv = np.zeros((O, 2))
         o_w = np.ones(O)
         o_mask = np.zeros(O, bool)
-        # incremental row packing: per-landmark cached row arrays (only
-        # landmarks whose observations changed rebuild), combined and
-        # slot-mapped with vectorised numpy — no per-observation Python
-        # loop (the reference's persistent ceres::Problem never repacks)
+        # arena row packing: the _ObsDict hook keeps a global row store
+        # exact through every mutation, so selecting this window's rows
+        # is pure vectorised numpy — no per-landmark Python loop (the
+        # reference's persistent ceres::Problem never repacks)
         sid_to_slot = np.full(self._next_state_id + 1, -1, np.int32)
         for sid2, i in slot_of.items():
             sid_to_slot[sid2] = i
-        parts, slots_l, scales_l, counts_l = [], [], [], []
-        for lid in lm_ids:
-            lm = self.landmarks[lid]
-            r = lm.packed_rows()
-            if len(r):
-                parts.append(r)
-                slots_l.append(lm_slot[lid])
-                # CNN suppression: information x info_scale => sqrt-info
-                # x sqrt(info_scale) (Frontend.cpp:986-1011)
-                scales_l.append(lm.info_scale)
-                counts_l.append(len(r))
-        k = 0
-        if parts:
-            allr = np.concatenate(parts)
-            counts = np.asarray(counts_l)
-            all_lm = np.repeat(
-                np.asarray(slots_l, np.int32), counts
+        lid_to_slot = np.full(self._next_lm_id + 1, -1, np.int32)
+        if lm_ids:
+            lid_to_slot[np.asarray(lm_ids, np.int64)] = np.arange(
+                len(lm_ids), dtype=np.int32
             )
-            all_sc = np.repeat(
-                np.sqrt(np.asarray(scales_l)), counts
+        self._lid_to_slot = lid_to_slot  # reused by the aux slot maps
+        ar = self._obs_arena
+        n = ar.n
+        st = sid_to_slot[ar.sid[:n]]
+        ls = lid_to_slot[ar.lid[:n]]
+        idxs = np.nonzero(ar.alive[:n] & (st >= 0) & (ls >= 0))[0]
+        if len(idxs) > O:
+            _warn_capacity(
+                "obs_slots",
+                f"obs cap bound: dropped {len(idxs) - O} "
+                f"observations (obs_slots={O}) — raise "
+                "EstimatorConfig.obs_slots (the reference has "
+                "no cap)",
             )
-            st = sid_to_slot[allr[:, 0].astype(np.int64)]
-            idxs = np.nonzero(st >= 0)[0]
-            if len(idxs) > O:
-                _warn_capacity(
-                    "obs_slots",
-                    f"obs cap bound: dropped {len(idxs) - O} "
-                    f"observations (obs_slots={O}) — raise "
-                    "EstimatorConfig.obs_slots (the reference has "
-                    "no cap)",
-                )
-                idxs = idxs[:O]
-            k = len(idxs)
+            idxs = idxs[:O]
+        k = len(idxs)
+        if k:
+            uvw = ar.uvw[idxs]
+            lm_rows = ls[idxs]
             o_state[:k] = st[idxs]
-            o_cam[:k] = allr[idxs, 1].astype(np.int32)
-            o_lm[:k] = all_lm[idxs]
-            o_uv[:k] = allr[idxs, 2:4]
-            o_w[:k] = allr[idxs, 4] * all_sc[idxs]
+            o_cam[:k] = ar.cam[idxs]
+            o_lm[:k] = lm_rows
+            o_uv[:k] = uvw[:, :2]
+            o_w[:k] = uvw[:, 2] * sc_slot[lm_rows]
             o_mask[:k] = True
         # Phase-B device-side append starts after the host-packed rows
         self._n_obs_packed = k
@@ -716,8 +812,22 @@ class Estimator:
         # IMU links between consecutive window slots
         _t_imu = SwitchableTimer("3.13 pack: imu links")
         _t_imu.__enter__()
-        pres = []
+        # persistent per-slot link buffer: only rows whose (from, to,
+        # preintegration revision) key changed are rewritten — a steady
+        # non-shift frame touches 1 link x ~13 leaves instead of
+        # stacking every link's every leaf (was 2.3 ms p50 at bench
+        # scale). NOTE: the returned problem's imu_pre leaves are VIEWS
+        # of this buffer, valid until the next pack_np (the hot path
+        # copies them into the flat carrier immediately; pack() wraps
+        # them in device arrays).
         imu_mask = np.zeros(S - 1, bool)
+        if self._imu_buf is None:
+            leaves, treedef = jax.tree_util.tree_flatten(prob.imu_pre)
+            self._imu_buf = (
+                [np.array(lf) for lf in leaves], treedef,
+                [None] * (S - 1),
+            )
+        buf, treedef, row_keys = self._imu_buf
         if cfg.use_imu:
             for i in range(n_win - 1):
                 nxt = self.states[win[i + 1]]
@@ -725,23 +835,17 @@ class Estimator:
                 # (a mid-window drop can break adjacency; such a link would
                 # integrate the wrong time span, so mask it off)
                 if len(nxt.imu_dt) and nxt.imu_from == win[i]:
-                    pres.append((i, self._get_preintegrated(win[i + 1])))
                     imu_mask[i] = True
-        if pres:
-            # ONE copy of each imu_pre leaf with all link rows written
-            # at once (the former per-link tree_map re-copied every
-            # leaf per link: ~13 leaves x links frames copies/frame)
-            rows = np.asarray([i for i, _ in pres])
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]),
-                *[p for _, p in pres],
-            )
-            imu_pre = jax.tree_util.tree_map(
-                lambda full, st: _set_rows(full, rows, st),
-                prob.imu_pre, stacked,
-            )
-        else:
-            imu_pre = jax.tree_util.tree_map(np.array, prob.imu_pre)
+                    pre = self._get_preintegrated(win[i + 1])
+                    key = (win[i], win[i + 1],
+                           self._pre_cache[win[i + 1]][3])
+                    if row_keys[i] != key:
+                        for b, lf in zip(
+                            buf, jax.tree_util.tree_leaves(pre)
+                        ):
+                            b[i] = lf
+                        row_keys[i] = key
+        imu_pre = jax.tree_util.tree_unflatten(treedef, buf)
 
         _t_imu.__exit__(None, None, None)
         # priors: gravity-aligned init prior on the oldest ever state if it
@@ -997,22 +1101,28 @@ class Estimator:
             cur_slots[:] = 0
             w_scale = buf_f[layout.aux_f_off:layout.aux_f_off + cap]
             w_scale[:] = 1.0
-            lm_index = {lid: i for i, lid in enumerate(self._lm_ids)}
-            for lid, slot in table.slot_of.items():
-                lm = self.landmarks.get(lid)
-                if lm is not None:
-                    w_scale[slot] = np.sqrt(lm.info_scale)
+            # CNN-suppressed landmarks (the only info_scale writers) are
+            # tracked in _lm_suppressed; everything else stays 1.0
+            for lid, s in self._lm_suppressed.items():
+                slot = table.slot_of.get(lid)
+                if slot is not None:
+                    w_scale[slot] = np.sqrt(s)
+            # table slot -> this pack's solver landmark slot, one map
+            # per in-flight set, via the pack's lid->slot array (only
+            # live window landmarks are >= 0 there) — vectorised over
+            # each set's slot->lid snapshot array
+            lid_to_slot = self._lid_to_slot
             for k, st in enumerate(sets):
                 if st["sid"] not in self._slot_of:
                     # the frame's state left the window before its
                     # bookkeeping ran — its matches can't constrain
                     # anything anymore
                     continue
-                mk = maps[k]
-                for lid, s in st["slot_of"].items():
-                    i = lm_index.get(lid)
-                    if i is not None and lid in self.landmarks:
-                        mk[s] = i
+                sl = st["slot_lid"]
+                ok = (sl >= 0) & (sl < len(lid_to_slot))
+                maps[k] = np.where(
+                    ok, lid_to_slot[np.where(ok, sl, 0)], -1
+                )
                 cur_slots[k] = self._slot_of[st["sid"]]
             buf_i[oi + K * cap + K] = self._n_obs_packed
             _t_aux.__exit__(None, None, None)
@@ -1553,15 +1663,6 @@ class Estimator:
 def _set_row(full: np.ndarray, i: int, one: np.ndarray) -> np.ndarray:
     full = np.asarray(full).copy()
     full[i] = np.asarray(one)
-    return full
-
-
-def _set_rows(full: np.ndarray, idx: np.ndarray,
-              stacked: np.ndarray) -> np.ndarray:
-    """Copy `full` once and write rows `idx` from `stacked` (leading
-    axis = len(idx))."""
-    full = np.asarray(full).copy()
-    full[idx] = stacked
     return full
 
 

@@ -63,7 +63,7 @@ class CnnSuppressor:
             c = int(classes[ci][kp])
             if (c == SKY_CLASS or c == PERSON_CLASS) \
                     and lm.info_scale > 1e-4:
-                lm.info_scale = 1e-4
+                estimator.set_info_scale(lid, 1e-4)
                 n += 1
         self.num_suppressed += n
         return n

@@ -700,6 +700,10 @@ class DeviceLandmarkTable:
         self.n_desc = n_desc
         self.slot_of: Dict[int, int] = {}
         self.lid_of: Dict[int, int] = {}
+        # slot -> lid as an array twin of lid_of: per-frame consumers
+        # (solver slot maps, w_scale) vectorise over it instead of
+        # iterating the dicts (~1k dict ops x K in-flight sets/frame)
+        self.slot_lid = np.full(capacity, -1, np.int64)
         self.free = list(range(capacity - 1, -1, -1))
         self.ring_next = np.zeros(capacity, np.int32)
         self.signs = None  # device [cap,K,B]
@@ -744,6 +748,7 @@ class DeviceLandmarkTable:
         s = self.free.pop()
         self.slot_of[lid] = s
         self.lid_of[s] = lid
+        self.slot_lid[s] = lid
         self.ring_next[s] = 0
         return s
 
@@ -751,6 +756,7 @@ class DeviceLandmarkTable:
         s = self.slot_of.pop(lid, None)
         if s is not None:
             del self.lid_of[s]
+            self.slot_lid[s] = -1
             self.free.append(s)
             self._clear.append(s)
 
@@ -1139,6 +1145,7 @@ class Frontend:
             # later bookkeeping may release/reallocate slots, so
             # downstream consumers map through this snapshot
             "slot_of": dict(table.slot_of),
+            "slot_lid": table.slot_lid.copy(),
         }
 
     def _zero_extra_dev(self):
@@ -1174,6 +1181,7 @@ class Frontend:
             "ff_prev_sid": prep["ff_prev_sid"],
             "NC": prep["NC"], "N": prep["N"], "cap": prep["cap"],
             "KF": prep["KF"], "slot_of": prep["slot_of"],
+            "slot_lid": prep["slot_lid"],
         }
 
     def dispatch_prepared(self, prep, carrier_dev):

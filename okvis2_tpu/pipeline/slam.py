@@ -319,9 +319,9 @@ class SlamSystem:
                 est, images, sid, T_WS_pred7
             )
             sets = [
-                {"sid": p["sid"], "slot_of": p["ctx"]["slot_of"]}
+                {"sid": p["sid"], "slot_lid": p["ctx"]["slot_lid"]}
                 for p in self._pending_frames
-            ] + [{"sid": sid, "slot_of": prep["slot_of"]}]
+            ] + [{"sid": sid, "slot_lid": prep["slot_lid"]}]
             layout, scfg, buf_all = est.prepare_fused_solve(
                 sid, self.frontend.table, sets
             )

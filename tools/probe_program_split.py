@@ -77,7 +77,7 @@ def main(n_frames=24, W=752, H=480):
         pred = est.states[sid].pose
         t0 = time.perf_counter()
         prep = fe.prepare_frame(est, images, sid, pred)
-        sets = [{"sid": sid, "slot_of": dict(fe.table.slot_of)}]
+        sets = [{"sid": sid, "slot_lid": fe.table.slot_lid.copy()}]
         layout, scfg, buf_all = est.prepare_fused_solve(
             sid, fe.table, sets)
         imgs = prep["imgs_u8"]
