@@ -614,8 +614,10 @@ class Estimator:
         # host numpy preintegration: a device dispatch + per-leaf readback
         # costs ~100 ms over the TPU tunnel for a ~10-sample segment
         from okvis2_tpu.imu.preintegration import preintegrate_np
+        from okvis2_tpu.utils.timing import SwitchableTimer
 
-        pre = preintegrate_np(self.imu_params, wb, ab, dtb, bg, ba)
+        with SwitchableTimer("3.131 preintegrate_np (cache miss)"):
+            pre = preintegrate_np(self.imu_params, wb, ab, dtb, bg, ba)
         # monotone revision: keys the per-row imu_pre buffer in pack_np
         # (id() could be recycled by the allocator after a gc)
         self._pre_rev = getattr(self, "_pre_rev", 0) + 1

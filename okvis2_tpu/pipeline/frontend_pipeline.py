@@ -666,8 +666,10 @@ def _stereo_pairs_device(
     """Static stereo across ALL overlapping camera pairs in ONE dispatch
     with one stacked output — the per-pair dispatch+readback loop costs
     a serialised tunnel roundtrip per pair (~10 of them on a Hilti-rig
-    keyframe). Returns (idx_b [P,N], hp_W [P,N,4], good [P,N],
-    parallel [P,N]). Reference: matchStereo, Frontend.cpp:1981-2150."""
+    keyframe). Returns ONE flat float array
+    [idx_b | hp_W | good | parallel] (decode with _decode_stereo_flat):
+    a pytree output costs one ~40 ms tunnel fetch PER LEAF.
+    Reference: matchStereo, Frontend.cpp:1981-2150."""
     P = len(pairs)
     N = xy.shape[1]
     o = 0
@@ -689,7 +691,52 @@ def _stereo_pairs_device(
             max_distance, allow_parallel,
         )
         outs.append((i_b, hp_W, good, parallel))
-    return tuple(jnp.stack(x) for x in zip(*outs))
+    idx_b, hp_W, good, parallel = (jnp.stack(x) for x in zip(*outs))
+    f = hp_W.dtype
+    return jnp.concatenate([
+        idx_b.astype(f).ravel(),  # keypoint indices < N: exact
+        hp_W.ravel(),
+        good.astype(f).ravel(),
+        parallel.astype(f).ravel(),
+    ])
+
+
+def _decode_stereo_flat(flat: np.ndarray, P: int, N: int):
+    """Host decode of _stereo_pairs_device's flat output."""
+    flat = np.asarray(flat)
+    o = P * N
+    idx_b = np.round(flat[:o]).astype(np.int32).reshape(P, N)
+    hp_W = flat[o:o + P * N * 4].reshape(P, N, 4)
+    o += P * N * 4
+    good = flat[o:o + P * N].reshape(P, N) > 0.5
+    parallel = flat[o + P * N:o + 2 * P * N].reshape(P, N) > 0.5
+    return idx_b, hp_W, good, parallel
+
+
+@jax.jit
+def _pack_kf_fetch(signs_packed: jnp.ndarray, stereo_flat: jnp.ndarray):
+    """Fuse a keyframe's two deferred outputs — the bit-packed
+    descriptor table fetch and the static-stereo flat — into ONE array
+    so the background thread pays a single tunnel readback (each fetch
+    RPC costs ~30-60 ms regardless of size). uint32 words travel as two
+    exact uint16 halves (a float32 carrier can't hold 2^32, and
+    bitcasting risks NaN canonicalisation on the way)."""
+    s = signs_packed.ravel()
+    f = stereo_flat.dtype
+    lo = (s & jnp.uint32(0xFFFF)).astype(f)
+    hi = (s >> jnp.uint32(16)).astype(f)
+    return jnp.concatenate([lo, hi, stereo_flat])
+
+
+def _unpack_kf_fetch(flat: np.ndarray, signs_shape):
+    """Host split of _pack_kf_fetch's output: (signs_packed uint32,
+    stereo flat)."""
+    flat = np.asarray(flat)
+    n = int(np.prod(signs_shape))
+    lo = np.round(flat[:n]).astype(np.uint32)
+    hi = np.round(flat[n:2 * n]).astype(np.uint32)
+    signs = ((hi << np.uint32(16)) | lo).reshape(signs_shape)
+    return signs, flat[2 * n:]
 
 
 class DeviceLandmarkTable:
@@ -1495,18 +1542,30 @@ class Frontend:
             "sid": sid,
             "frames": frames,
             "stereo": stereo,
+            "signs_shape": tuple(stacked["signs_packed"].shape),
             # entries staged by THIS frame's finish_frame; the list
             # resets at the next finish, so snapshot now
             "desc_stage": self._desc_stage,
         }
         self._desc_stage = []
+        # fuse both outputs into ONE device array so the background
+        # thread pays a single tunnel readback (each fetch RPC costs
+        # ~30-60 ms regardless of size; a pytree fetch pays per leaf)
+        if stereo is not None:
+            combined = _pack_kf_fetch(stacked["signs_packed"],
+                                      stereo["out"])
+        else:
+            combined = None
         fut = {}
 
         def _fetch(f=fut):
             try:
-                f["signs_packed"] = np.asarray(stacked["signs_packed"])
-                if stereo is not None:
-                    f["stereo"] = jax.device_get(stereo["out"])
+                if combined is not None:
+                    f["combined"] = np.asarray(combined)
+                else:
+                    f["signs_packed"] = np.asarray(
+                        stacked["signs_packed"]
+                    )
             except Exception as e:  # surfaced at join time
                 f["err"] = e
 
@@ -1525,13 +1584,24 @@ class Frontend:
         if "err" in fut:
             raise fut["err"]
         frames, sid = pend["frames"], pend["sid"]
+        stereo_fetched = None
+        if "combined" in fut:
+            signs_packed, stereo_flat = _unpack_kf_fetch(
+                fut["combined"], pend["signs_shape"]
+            )
+            stereo_fetched = _decode_stereo_flat(
+                stereo_flat, len(pend["stereo"]["pairs"]),
+                pend["stereo"]["N"],
+            )
+        else:
+            signs_packed = fut["signs_packed"]
         self._apply_fetched_signs(
-            frames, fut["signs_packed"], pend["desc_stage"]
+            frames, signs_packed, pend["desc_stage"]
         )
         n_new = 0
-        if pend["stereo"] is not None:
+        if stereo_fetched is not None:
             n_new = self._insert_static_stereo(
-                estimator, frames, sid, pend["stereo"], fut["stereo"]
+                estimator, frames, sid, pend["stereo"], stereo_fetched
             )
         self.remember_keyframe_frames(sid, frames)
         return n_new
@@ -1716,7 +1786,9 @@ class Frontend:
         pend = self._dispatch_static_stereo(estimator, frames, sid)
         if pend is None:
             return 0
-        fetched = jax.device_get(pend["out"])
+        fetched = _decode_stereo_flat(
+            jax.device_get(pend["out"]), len(pend["pairs"]), pend["N"]
+        )
         return self._insert_static_stereo(
             estimator, frames, sid, pend, fetched
         )
@@ -1764,7 +1836,7 @@ class Frontend:
             stacked["xy"], stacked["signs"],
             pairs, cfg.matching_threshold, True,
         )
-        return {"out": out, "pairs": pairs}
+        return {"out": out, "pairs": pairs, "N": N}
 
     def _insert_static_stereo(self, estimator: Estimator, frames,
                               sid: int, pend, fetched):
