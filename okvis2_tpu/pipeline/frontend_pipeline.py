@@ -1464,12 +1464,19 @@ class Frontend:
                 if k >= len(top_ids):
                     continue
                 kid = top_ids[k]
+                kfr = self._kf_store.get(kid)
+                if kfr is None:
+                    # the ranked keyframe was evicted from the store
+                    # between this frame's dispatch and its (lagged)
+                    # finish — its host detection arrays are gone, so
+                    # its motion-stereo rows can't be inserted
+                    continue
                 a, b = int(r[1]), int(r[2])
                 if (ci, a) in used_of[kid] or (ci, b) in used_of[sid]:
                     continue
                 used_of[kid].add((ci, a))
                 used_of[sid].add((ci, b))
-                fa = self._kf_store[kid][ci]
+                fa = kfr[ci]
                 fr = frames[ci]
                 lid = estimator.add_landmark(r[3:7], initialised=True)
                 estimator.add_observation(
