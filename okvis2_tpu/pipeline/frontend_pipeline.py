@@ -54,7 +54,11 @@ class FrontendConfig:
     detection: DetectionConfig = DetectionConfig()
     matching_threshold: int = 60  # Hamming (config/euroc.yaml:65)
     map_match_radius: float = 40.0  # px gate around predicted projection
-    map_match_capacity: int = 1024  # fixed landmark-slot count per match call
+    # fixed landmark-slot count per match call; a full table LRU-evicts
+    # (see DeviceLandmarkTable). 2048 keeps roughly the current + one
+    # previous lap of a 10 Hz drive matchable, so revisits re-match old
+    # landmarks instead of spawning duplicates
+    map_match_capacity: int = 2048
     n_desc_per_lm: int = 3  # <=3 best descriptors (Frontend.cpp:1224-1359)
     stereo_epipolar_gate: float = 3.0  # px distance to epipolar line
     keyframe_overlap_threshold: float = 0.6  # euroc.yaml:68
@@ -753,6 +757,16 @@ class DeviceLandmarkTable:
         self.slot_lid = np.full(capacity, -1, np.int64)
         self.free = list(range(capacity - 1, -1, -1))
         self.ring_next = np.zeros(capacity, np.int32)
+        # LRU bookkeeping: a full table evicts the least-recently-staged
+        # landmark instead of refusing new ones (refusal silently made
+        # every post-capacity landmark unmatchable forever — measured on
+        # the 1200-frame circle as a tracking-decay spiral: keyframes
+        # every 1-3 frames, ~900 duplicate landmarks per lap). The
+        # reference's analogue is matching against the bounded covisible
+        # local map (Frontend.cpp:1362-1432) rather than the whole map.
+        self.last_seen = np.zeros(capacity, np.int64)
+        self.tick = 0
+        self.num_evictions = 0
         self.signs = None  # device [cap,K,B]
         self.valid = None  # device [cap,K]
         # staged per-frame updates
@@ -791,12 +805,28 @@ class DeviceLandmarkTable:
         if s is not None:
             return s
         if not self.free:
-            return None
+            # evict the least-recently-staged tenant (old-lap landmarks;
+            # anything actively matched was staged within a few frames).
+            # Its LandmarkRecord stays in the graph and lm_desc_sets keeps
+            # its variants for loop-closure verification — only future
+            # map matching forgets it.
+            ev = int(np.argmin(self.last_seen))
+            old_lid = self.lid_of.get(ev)
+            if old_lid is None:
+                return None
+            self.release(old_lid)
+            # staged updates of the evicted tenant must not land in the
+            # new tenant's slot (clears apply before updates per batch)
+            if self._upd:
+                self._upd = [u for u in self._upd if u[0] != ev]
+            self.num_evictions += 1
         s = self.free.pop()
         self.slot_of[lid] = s
         self.lid_of[s] = lid
         self.slot_lid[s] = lid
         self.ring_next[s] = 0
+        self.tick += 1
+        self.last_seen[s] = self.tick
         return s
 
     def release(self, lid: int):
@@ -813,6 +843,8 @@ class DeviceLandmarkTable:
             s = self.alloc(lid)
             if s is None:
                 return
+        self.tick += 1
+        self.last_seen[s] = self.tick
         ring = int(self.ring_next[s])
         self.ring_next[s] = (ring + 1) % self.n_desc
         self._upd.append((s, ring, cam, kp))

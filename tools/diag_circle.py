@@ -114,6 +114,10 @@ def main():
               f"kf={int(meta[i, 2])} pg={int(meta[i, 3])} "
               f"anchor={int(meta[i, 4])}")
 
+    from okvis2_tpu.utils.timing import Timing
+    print("\ntiming report:")
+    Timing.print_report()
+
 
 if __name__ == "__main__":
     main()
